@@ -1,0 +1,247 @@
+"""TPU-native decoder-only transformer forward pass.
+
+Functional (pure-pytree) model covering the HF families the reference loads via
+``AutoModelForCausalLM`` (ref: engine/model_loader.py:81-111): llama/mistral/qwen
+(RMSNorm, RoPE, SwiGLU, GQA, optional qk-norm) and gpt-neox/pythia (LayerNorm,
+parallel residual, partial rotary, biases).
+
+Design notes (TPU-first, not a port):
+- layers are *stacked* (leading ``L`` axis) and traversed with ``lax.scan`` —
+  one compiled block body regardless of depth, fast compiles, and a clean
+  leading axis for pipeline-stage sharding later;
+- there is ONE code path: ``forward_step`` processes a [B, T] block against a
+  static-shape ``KVCache`` at per-sequence offsets. Prefill, single-token
+  decode, and the (gamma+1)-token speculative verify are all the same function
+  with a different T. ``forward_full`` is a thin wrapper over a scratch cache;
+- attention uses grouped-query einsums (KV heads never materialized repeated)
+  with f32 softmax; masking is ``key_pos <= query_pos`` which subsumes
+  causality, cache validity, and staleness after rollback.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from specdec_tpu.core.cache import KVCache, init_cache, write_block
+from specdec_tpu.core.config import ModelConfig
+from specdec_tpu.core.rope import apply_rope, rope_cos_sin
+
+Params = Dict[str, Any]
+
+_NEG_INF = -1e30
+
+
+def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    normed = x32 * lax.rsqrt(var + eps)
+    return (w * normed.astype(x.dtype)).astype(x.dtype)
+
+
+def layer_norm(x: jax.Array, w: jax.Array, b: jax.Array, eps: float) -> jax.Array:
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    normed = (x32 - mean) * lax.rsqrt(var + eps)
+    return (normed.astype(x.dtype) * w + b).astype(x.dtype)
+
+
+def _norm(cfg: ModelConfig, x, w, b=None):
+    if cfg.norm_type == "rmsnorm":
+        return rms_norm(x, w, cfg.norm_eps)
+    return layer_norm(x, w, b, cfg.norm_eps)
+
+
+def _act(cfg: ModelConfig, x):
+    if cfg.act == "silu":
+        return jax.nn.silu(x)
+    if cfg.act == "gelu":
+        return jax.nn.gelu(x, approximate=False)
+    if cfg.act == "gelu_tanh":
+        return jax.nn.gelu(x, approximate=True)
+    raise ValueError(f"unknown activation {cfg.act}")
+
+
+def _attention(cfg: ModelConfig, q, k_all, v_all, q_pos, k_len):
+    """q: [B,T,Hq,Dh]; k_all/v_all: [B,S,Hk,Dh]; q_pos: [B,T] absolute positions.
+
+    Mask admits key position s iff s <= q_pos[b, t] (and s < k_len safety bound,
+    implied because q_pos < written length). Softmax in f32.
+    """
+    B, T, Hq, Dh = q.shape
+    S = k_all.shape[1]
+    Hk = cfg.num_kv_heads
+    G = cfg.q_per_kv
+    qg = q.reshape(B, T, Hk, G, Dh)
+    scale = 1.0 / jnp.sqrt(Dh).astype(jnp.float32)
+    scores = jnp.einsum("bthgd,bshd->bhgts", qg, k_all,
+                        preferred_element_type=jnp.float32) * scale
+    k_pos = jnp.arange(S, dtype=jnp.int32)
+    mask = k_pos[None, None, :] <= q_pos[:, :, None]  # [B,T,S]
+    scores = jnp.where(mask[:, None, None, :, :], scores, _NEG_INF)
+    if cfg.logit_softcap > 0.0:
+        scores = jnp.tanh(scores / cfg.logit_softcap) * cfg.logit_softcap
+    probs = jax.nn.softmax(scores, axis=-1).astype(v_all.dtype)
+    out = jnp.einsum("bhgts,bshd->bthgd", probs, v_all)
+    return out.reshape(B, T, Hq * Dh)
+
+
+def _block(cfg: ModelConfig, lp: Params, x, cos, sin, q_pos,
+           layer_k, layer_v, offsets):
+    """One transformer block over a [B, T, D] activation block.
+
+    Returns (new_x, new_layer_k, new_layer_v).
+    """
+    B, T, D = x.shape
+    Hq, Hk, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    h = _norm(cfg, x, lp["attn_norm_w"], lp.get("attn_norm_b"))
+    q = h @ lp["wq"]
+    k = h @ lp["wk"]
+    v = h @ lp["wv"]
+    if cfg.attn_qkv_bias:
+        q = q + lp["bq"]
+        k = k + lp["bk"]
+        v = v + lp["bv"]
+    q = q.reshape(B, T, Hq, Dh)
+    k = k.reshape(B, T, Hk, Dh)
+    v = v.reshape(B, T, Hk, Dh)
+    if cfg.qk_norm:
+        q = rms_norm(q, lp["q_norm_w"], cfg.norm_eps)
+        k = rms_norm(k, lp["k_norm_w"], cfg.norm_eps)
+    rd = cfg.rotary_dim
+    q = apply_rope(q, cos, sin, rd)
+    k = apply_rope(k, cos, sin, rd)
+
+    layer_k, layer_v = write_block(layer_k, layer_v, k, v, offsets)
+    attn = _attention(cfg, q, layer_k, layer_v, q_pos, None)
+    attn = attn @ lp["wo"]
+    if cfg.attn_out_bias:
+        attn = attn + lp["bo"]
+
+    if cfg.parallel_residual:
+        m = _norm(cfg, x, lp["mlp_norm_w"], lp.get("mlp_norm_b"))
+    else:
+        x = x + attn
+        m = _norm(cfg, x, lp["mlp_norm_w"], lp.get("mlp_norm_b"))
+
+    if cfg.gated_mlp:
+        gate = m @ lp["w_gate"]
+        up = m @ lp["w_up"]
+        if cfg.mlp_bias:
+            gate = gate + lp["b_gate"]
+            up = up + lp["b_up"]
+        mlp = _act(cfg, gate) * up
+    else:
+        up = m @ lp["w_up"]
+        if cfg.mlp_bias:
+            up = up + lp["b_up"]
+        mlp = _act(cfg, up)
+    mlp = mlp @ lp["w_down"]
+    if cfg.mlp_bias:
+        mlp = mlp + lp["b_down"]
+
+    if cfg.parallel_residual:
+        x = x + attn + mlp
+    else:
+        x = x + mlp
+    return x, layer_k, layer_v
+
+
+def forward_step(cfg: ModelConfig, params: Params, tokens: jax.Array,
+                 cache: KVCache) -> Tuple[jax.Array, KVCache]:
+    """Process a [B, T] token block against the cache at per-seq offsets.
+
+    Writes the block's K/V at ``cache.length`` (per sequence), attends over
+    everything written so far, and returns logits [B, T, vocab] (f32) plus the
+    cache advanced by T. Callers that prefilled right-padded prompts set the
+    true per-seq lengths afterwards via ``cache.with_length`` — stale entries
+    are masked and later overwritten (see core/cache.py).
+    """
+    B, T = tokens.shape
+    offsets = cache.length
+    q_pos = offsets[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]  # [B,T]
+    cos, sin = rope_cos_sin(q_pos, cfg.rotary_dim, cfg.rope_theta)
+
+    x = params["embed"][tokens].astype(cfg.dtype)
+
+    def body(carry, scanned):
+        h = carry
+        lp, lk, lv = scanned
+        h, lk, lv = _block(cfg, lp, h, cos, sin, q_pos, lk, lv, offsets)
+        return h, (lk, lv)
+
+    x, (new_k, new_v) = lax.scan(body, x, (params["layers"], cache.k, cache.v))
+
+    x = _norm(cfg, x, params["final_norm_w"], params.get("final_norm_b"))
+    head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
+    logits = jnp.einsum("btd,dv->btv", x, head,
+                        preferred_element_type=jnp.float32)
+    if cfg.logit_softcap > 0.0:
+        logits = jnp.tanh(logits / cfg.logit_softcap) * cfg.logit_softcap
+    new_cache = KVCache(k=new_k, v=new_v, length=cache.length + T)
+    return logits, new_cache
+
+
+def forward_full(cfg: ModelConfig, params: Params, tokens: jax.Array) -> jax.Array:
+    """Causal full-sequence forward (no persistent cache); logits [B, T, V] f32."""
+    B, T = tokens.shape
+    cache = init_cache(cfg, B, T)
+    logits, _ = forward_step(cfg, params, tokens, cache)
+    return logits
+
+
+def init_params(cfg: ModelConfig, key: jax.Array, scale: float = 0.02) -> Params:
+    """Random init (normal * scale); used by tests and synthetic benchmarks."""
+    keys = iter(jax.random.split(key, 64))
+
+    def w(shape, s=scale):
+        return (jax.random.normal(next(keys), shape, dtype=jnp.float32) * s
+                ).astype(cfg.dtype)
+
+    L, D, F = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size
+    Hq, Hk, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    layers: Params = {
+        "attn_norm_w": jnp.ones((L, D), cfg.dtype),
+        "mlp_norm_w": jnp.ones((L, D), cfg.dtype),
+        "wq": w((L, D, Hq * Dh)),
+        "wk": w((L, D, Hk * Dh)),
+        "wv": w((L, D, Hk * Dh)),
+        "wo": w((L, Hq * Dh, D)),
+        "w_up": w((L, D, F)),
+        "w_down": w((L, F, D)),
+    }
+    if cfg.gated_mlp:
+        layers["w_gate"] = w((L, D, F))
+    if cfg.norm_type == "layernorm":
+        layers["attn_norm_b"] = jnp.zeros((L, D), cfg.dtype)
+        layers["mlp_norm_b"] = jnp.zeros((L, D), cfg.dtype)
+    if cfg.attn_qkv_bias:
+        layers["bq"] = jnp.zeros((L, Hq * Dh), cfg.dtype)
+        layers["bk"] = jnp.zeros((L, Hk * Dh), cfg.dtype)
+        layers["bv"] = jnp.zeros((L, Hk * Dh), cfg.dtype)
+    if cfg.attn_out_bias:
+        layers["bo"] = jnp.zeros((L, D), cfg.dtype)
+    if cfg.mlp_bias:
+        layers["b_up"] = jnp.zeros((L, F), cfg.dtype)
+        layers["b_down"] = jnp.zeros((L, D), cfg.dtype)
+        if cfg.gated_mlp:
+            layers["b_gate"] = jnp.zeros((L, F), cfg.dtype)
+    if cfg.qk_norm:
+        layers["q_norm_w"] = jnp.ones((L, Dh), cfg.dtype)
+        layers["k_norm_w"] = jnp.ones((L, Dh), cfg.dtype)
+
+    params: Params = {
+        "embed": w((cfg.vocab_size, D)),
+        "layers": layers,
+        "final_norm_w": jnp.ones((D,), cfg.dtype),
+    }
+    if cfg.norm_type == "layernorm":
+        params["final_norm_b"] = jnp.zeros((D,), cfg.dtype)
+    if not cfg.tie_embeddings:
+        params["lm_head"] = w((D, cfg.vocab_size))
+    return params

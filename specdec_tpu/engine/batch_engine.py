@@ -1,0 +1,372 @@
+"""Batched speculative + autoregressive decoding.
+
+Rebuild of the reference's batched hot path (ref: engine/infer_engine.py:99-502)
+as jitted whole-batch window steps:
+
+- drafter draft phase = ``lax.scan`` of gamma cached single-token steps over the
+  full batch (ref :224-263 runs a Python loop with per-seq masking)
+- target verify = ONE cached forward over gamma+1 positions per sequence
+  (the reference re-forwards the ENTIRE prompt+generation uncached every
+  window, ref :270-276 — a quirk SURVEY.md §7.3 says to fix, not copy)
+- accept/reject/residual fully vectorized over [B, gamma] (ref :279-336 is a
+  per-sequence per-draft Python loop with .item() syncs)
+- per-sequence cache lengths make divergent accept counts free: rollback is
+  length arithmetic, not slicing
+
+Deliberate quirk fixes (documented divergences from ref):
+- q/p use the configured logits processor, consistent with the single-sequence
+  path (ref batched path hardcodes temp-1 softmax, :241,276)
+- full-acceptance windows emit the bonus token (ref batched path drops it, :330-338)
+- pad tokens never enter attention (ref includes them unmasked, :270)
+- no token-id-0 sentinel trimming (ref :344-349); per-seq lengths are tracked
+  exactly
+- TTFT is recorded when the first *verified* token of a request exists
+  (ref fires the callback when the first unverified draft appears, :261-263)
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from specdec_tpu.core.cache import KVCache, init_cache
+from specdec_tpu.core.config import ModelConfig
+from specdec_tpu.core.model import forward_step
+from specdec_tpu.sampling.processors import GreedyProcessor, LogitsProcessor
+from specdec_tpu.sampling.utils import max_fn, normalize_eos
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class BatchState:
+    """Device-resident state of a batch generation."""
+
+    buf: jax.Array        # [B, S] committed tokens (prompt + generated)
+    pos: jax.Array        # [B] committed length per sequence
+    prompt_len: jax.Array # [B]
+    total_len: jax.Array  # [B] per-seq generation cap
+    finished: jax.Array   # [B] bool
+    d_cache: Optional[KVCache]
+    t_cache: KVCache
+    accepted: jax.Array   # [B] int32
+    speculated: jax.Array # [B] int32
+
+
+def _gather_last(buf: jax.Array, pos: jax.Array) -> jax.Array:
+    """buf[b, pos[b]-1] for each b."""
+    return jnp.take_along_axis(buf, (pos - 1)[:, None], axis=1)[:, 0]
+
+
+def _eos_hit(tokens: jax.Array, eos_ids: Tuple[int, ...]) -> jax.Array:
+    if not eos_ids:
+        return jnp.zeros(tokens.shape, dtype=bool)
+    eos = jnp.asarray(eos_ids, dtype=tokens.dtype)
+    return jnp.any(tokens[..., None] == eos, axis=-1)
+
+
+@partial(jax.jit, static_argnames=(
+    "drafter_cfg", "target_cfg", "gen_len", "gamma", "processor",
+    "first_target", "use_drafter", "eos_ids"))
+def batch_prefill(drafter_cfg: Optional[ModelConfig], drafter_params,
+                  target_cfg: ModelConfig, target_params,
+                  prompts: jax.Array, prompt_lens: jax.Array,
+                  gen_len: int, gamma: int,
+                  processor: LogitsProcessor, first_target: bool,
+                  use_drafter: bool, eos_ids: Tuple[int, ...],
+                  key: jax.Array) -> BatchState:
+    """Prefill both models on right-padded prompts; optionally commit the
+    first token from the target (ref first_target, sampling/speculative_decoding.py:84-103)."""
+    B, P = prompts.shape
+    S = P + gen_len + gamma + 2
+    buf = jnp.zeros((B, S), dtype=jnp.int32)
+    buf = lax.dynamic_update_slice(buf, prompts, (0, 0))
+
+    max_pos = target_cfg.max_position_embeddings
+    if use_drafter:
+        max_pos = min(max_pos, drafter_cfg.max_position_embeddings)
+    total_len = jnp.minimum(max_pos, prompt_lens + gen_len)
+
+    t_cache = init_cache(target_cfg, B, S)
+    t_logits, t_cache = forward_step(target_cfg, target_params, prompts, t_cache)
+
+    d_cache = None
+    if use_drafter:
+        d_cache = init_cache(drafter_cfg, B, S)
+        _, d_cache = forward_step(drafter_cfg, drafter_params, prompts, d_cache)
+
+    if first_target:
+        last = jnp.take_along_axis(t_logits, (prompt_lens - 1)[:, None, None],
+                                   axis=1)[:, 0]            # [B, V]
+        p0 = processor(last)
+        keys = jax.random.split(key, B)
+        tok0 = jax.vmap(lambda pi, ki: processor.sample(pi, ki))(p0, keys)
+        tok0 = tok0.astype(jnp.int32)
+        buf = jax.vmap(lambda row, t, o: lax.dynamic_update_slice(row, t[None], (o,))
+                       )(buf, tok0, prompt_lens)
+        pos = prompt_lens + 1
+        finished = _eos_hit(tok0, eos_ids) | (pos >= total_len)
+    else:
+        pos = prompt_lens
+        finished = pos >= total_len
+
+    cache_len = pos - 1
+    t_cache = t_cache.with_length(cache_len)
+    if use_drafter:
+        d_cache = d_cache.with_length(cache_len)
+
+    zeros = jnp.zeros((B,), jnp.int32)
+    return BatchState(buf=buf, pos=pos, prompt_len=prompt_lens,
+                      total_len=total_len, finished=finished,
+                      d_cache=d_cache, t_cache=t_cache,
+                      accepted=zeros, speculated=zeros)
+
+
+@partial(jax.jit, static_argnames=(
+    "drafter_cfg", "target_cfg", "gamma", "processor", "eos_ids",
+    "skip_sample_adjustment"))
+def batch_spec_window(drafter_cfg: ModelConfig, drafter_params,
+                      target_cfg: ModelConfig, target_params,
+                      state: BatchState, gamma: int,
+                      processor: LogitsProcessor, eos_ids: Tuple[int, ...],
+                      skip_sample_adjustment: bool,
+                      key: jax.Array) -> BatchState:
+    """One gamma-draft/verify/accept window for the whole batch."""
+    B = state.buf.shape[0]
+    idxg = jnp.arange(gamma)
+
+    first_tok = _gather_last(state.buf, state.pos)          # [B]
+    k_draft, k_accept, k_resample = jax.random.split(key, 3)
+
+    # --- draft phase -------------------------------------------------------
+    def draft_step(carry, i):
+        cache, prev = carry
+        logits, cache = forward_step(drafter_cfg, drafter_params,
+                                     prev[:, None], cache)
+        q = processor(logits[:, 0])                         # [B, V]
+        keys = jax.random.split(jax.random.fold_in(k_draft, i), B)
+        x = jax.vmap(lambda qi, ki: processor.sample(qi, ki))(q, keys)
+        x = x.astype(jnp.int32)
+        return (cache, x), (q, x)
+
+    (d_cache, last_draft), (q_all, drafts) = lax.scan(
+        draft_step, (state.d_cache, first_tok), idxg)
+    q_all = jnp.swapaxes(q_all, 0, 1)                       # [B, gamma, V]
+    drafts = jnp.swapaxes(drafts, 0, 1)                     # [B, gamma]
+    # consume the final draft so the drafter cache covers pos+gamma tokens —
+    # any rollback is then pure length arithmetic (see sampling/speculative.py)
+    _, d_cache = forward_step(drafter_cfg, drafter_params,
+                              last_draft[:, None], d_cache)
+
+    # --- verify phase ------------------------------------------------------
+    t_in = jnp.concatenate([first_tok[:, None], drafts], axis=1)  # [B, gamma+1]
+    t_logits, t_cache = forward_step(target_cfg, target_params, t_in,
+                                     state.t_cache)
+    p_all = processor(t_logits)                             # [B, gamma+1, V]
+
+    # --- vectorized acceptance --------------------------------------------
+    r = jax.random.uniform(k_accept, (B, gamma))
+    p_x = jnp.take_along_axis(p_all[:, :gamma], drafts[..., None], axis=2)[..., 0]
+    q_x = jnp.take_along_axis(q_all, drafts[..., None], axis=2)[..., 0]
+    reject = r > p_x / jnp.maximum(q_x, 1e-38)
+    n = jnp.where(jnp.any(reject, axis=1), jnp.argmax(reject, axis=1), gamma)
+
+    # --- next token: bonus or residual resample ---------------------------
+    p_n = jnp.take_along_axis(p_all, n[:, None, None], axis=1)[:, 0]       # [B, V]
+    q_n = jnp.take_along_axis(q_all, jnp.minimum(n, gamma - 1)[:, None, None],
+                              axis=1)[:, 0]
+    if skip_sample_adjustment:
+        resample_dist = p_n
+    else:
+        residual = max_fn(p_n - q_n)
+        has_mass = jnp.sum(jnp.maximum(p_n - q_n, 0.0), axis=-1,
+                           keepdims=True) > 1e-12
+        resample_dist = jnp.where(has_mass, residual, p_n)
+    next_dist = jnp.where((n == gamma)[:, None], p_n, resample_dist)
+    keys = jax.random.split(k_resample, B)
+    next_tok = jax.vmap(lambda pi, ki: processor.sample(pi, ki))(next_dist, keys)
+    next_tok = next_tok.astype(jnp.int32)
+
+    # --- commit ------------------------------------------------------------
+    cand = jnp.where(idxg[None, :] < n[:, None], drafts, 0)
+    cand = jnp.concatenate([cand, jnp.zeros((B, 1), jnp.int32)], axis=1)
+    cand = jax.vmap(lambda row, t, i: row.at[i].set(t))(cand, next_tok, n)
+
+    remaining = state.total_len - state.pos
+    advance = jnp.minimum(n + 1, remaining)
+    idxg1 = jnp.arange(gamma + 1)
+    is_eos = _eos_hit(cand, eos_ids) & (idxg1[None, :] <= n[:, None])
+    within = is_eos & (idxg1[None, :] < advance[:, None])
+    any_eos = jnp.any(within, axis=1)
+    first_eos = jnp.argmax(within, axis=1)
+    advance = jnp.where(any_eos, jnp.minimum(first_eos + 1, advance), advance)
+    advance = jnp.where(state.finished, 0, advance)
+
+    buf = jax.vmap(lambda row, c, o: lax.dynamic_update_slice(row, c, (o,))
+                   )(state.buf, cand, state.pos)
+    # finished sequences must not see their buffer mutated past pos
+    buf = jnp.where(state.finished[:, None], state.buf, buf)
+    new_pos = state.pos + advance
+    finished = state.finished | any_eos | (new_pos >= state.total_len)
+
+    # --- bookkeeping (corrected gamma, ref :106,147,189) -------------------
+    corrected_gamma = jnp.clip(state.total_len - state.pos - 1, 0, gamma)
+    active = ~state.finished
+    accepted = state.accepted + jnp.where(
+        active, jnp.minimum(n, corrected_gamma), 0)
+    speculated = state.speculated + jnp.where(active, corrected_gamma, 0)
+
+    cache_len = new_pos - 1
+    return dataclasses.replace(
+        state, buf=buf, pos=new_pos, finished=finished,
+        d_cache=d_cache.with_length(cache_len),
+        t_cache=t_cache.with_length(cache_len),
+        accepted=accepted, speculated=speculated)
+
+
+@partial(jax.jit, static_argnames=("target_cfg", "processor", "eos_ids"))
+def batch_ar_step(target_cfg: ModelConfig, target_params, state: BatchState,
+                  processor: LogitsProcessor, eos_ids: Tuple[int, ...],
+                  key: jax.Array) -> BatchState:
+    """One batched AR token step (ref: engine/infer_engine.py:408-487 redesigned:
+    no per-layer cache scatter gymnastics — per-seq lengths do the compaction)."""
+    B = state.buf.shape[0]
+    last = _gather_last(state.buf, state.pos)
+    logits, t_cache = forward_step(target_cfg, target_params, last[:, None],
+                                   state.t_cache)
+    probs = processor(logits[:, 0])
+    keys = jax.random.split(key, B)
+    tok = jax.vmap(lambda pi, ki: processor.sample(pi, ki))(probs, keys)
+    tok = tok.astype(jnp.int32)
+
+    advance = jnp.where(state.finished | (state.pos >= state.total_len), 0, 1)
+    buf = jax.vmap(lambda row, t, o: lax.dynamic_update_slice(row, t[None], (o,))
+                   )(state.buf, tok, state.pos)
+    buf = jnp.where(state.finished[:, None], state.buf, buf)
+    new_pos = state.pos + advance
+    finished = state.finished | _eos_hit(tok, eos_ids) | (new_pos >= state.total_len)
+    return dataclasses.replace(state, buf=buf, pos=new_pos, finished=finished,
+                               t_cache=t_cache.with_length(new_pos - 1))
+
+
+# ---------------------------------------------------------------------------
+# Host-side drivers (window loop + TTFT hooks + output extraction)
+# ---------------------------------------------------------------------------
+
+def _pad_batch(prompt_ids: Sequence[Sequence[int]], pad_id: int,
+               bucket: int = 64) -> Tuple[jax.Array, jax.Array]:
+    lens = [len(p) for p in prompt_ids]
+    P = max(bucket, ((max(lens) + bucket - 1) // bucket) * bucket)
+    arr = np.full((len(prompt_ids), P), pad_id, dtype=np.int32)
+    for i, p in enumerate(prompt_ids):
+        arr[i, :len(p)] = np.asarray(p, dtype=np.int32)
+    return jnp.asarray(arr), jnp.asarray(lens, dtype=jnp.int32)
+
+
+def batch_speculative_generate(
+    prompt_ids: Sequence[Sequence[int]],
+    drafter_cfg: ModelConfig, drafter_params,
+    target_cfg: ModelConfig, target_params,
+    gamma: int = 5,
+    gen_len: int = 100,
+    logits_processor: Optional[LogitsProcessor] = None,
+    eos_tokens_id=1,
+    pad_token_id: int = 0,
+    first_target: bool = True,
+    skip_sample_adjustment: bool = False,
+    key: Optional[jax.Array] = None,
+    first_token_callback: Optional[Callable[[int], None]] = None,
+) -> Tuple[List[List[int]], List[float]]:
+    """Batched speculative generation (ref: engine/infer_engine.py:149-359).
+
+    Returns (per-seq generated token lists, per-seq acceptance rates).
+    """
+    processor = logits_processor or GreedyProcessor()
+    key = key if key is not None else jax.random.key(0)
+    eos_ids = normalize_eos(eos_tokens_id)
+    prompts, lens = _pad_batch(prompt_ids, pad_token_id)
+    B = prompts.shape[0]
+
+    state = batch_prefill(drafter_cfg, drafter_params, target_cfg, target_params,
+                          prompts, lens, int(gen_len), int(gamma), processor,
+                          bool(first_target), True, eos_ids,
+                          jax.random.fold_in(key, 0))
+
+    window = 0
+    ttft_fired = False
+    while True:
+        finished = np.asarray(state.finished)
+        if finished.all():
+            break
+        state = batch_spec_window(
+            drafter_cfg, drafter_params, target_cfg, target_params, state,
+            int(gamma), processor, eos_ids, bool(skip_sample_adjustment),
+            jax.random.fold_in(key, window + 1))
+        if not ttft_fired:
+            # first verified tokens now exist for every active request
+            state.pos.block_until_ready()
+            if first_token_callback is not None:
+                for i in range(B):
+                    first_token_callback(i)
+            ttft_fired = True
+        window += 1
+        if window > gen_len + 2:  # safety: each window advances >= 1
+            break
+
+    buf = np.asarray(state.buf)
+    pos = np.asarray(state.pos)
+    plen = np.asarray(state.prompt_len)
+    accepted = np.asarray(state.accepted)
+    speculated = np.asarray(state.speculated)
+    outputs = [buf[i, plen[i]:pos[i]].tolist() for i in range(B)]
+    rates = [float(accepted[i]) / float(speculated[i]) if speculated[i] > 0
+             else 0.0 for i in range(B)]
+    return outputs, rates
+
+
+def batch_autoregressive_generate(
+    prompt_ids: Sequence[Sequence[int]],
+    target_cfg: ModelConfig, target_params,
+    gen_len: int = 100,
+    logits_processor: Optional[LogitsProcessor] = None,
+    eos_tokens_id=1,
+    pad_token_id: int = 0,
+    key: Optional[jax.Array] = None,
+    first_token_callback: Optional[Callable[[int], None]] = None,
+    steps_per_host_sync: int = 16,
+) -> List[List[int]]:
+    """Batched AR baseline (ref: engine/infer_engine.py:408-502). Runs
+    ``steps_per_host_sync`` jitted steps between finished-mask checks to keep
+    the host off the critical path."""
+    processor = logits_processor or GreedyProcessor()
+    key = key if key is not None else jax.random.key(0)
+    eos_ids = normalize_eos(eos_tokens_id)
+    prompts, lens = _pad_batch(prompt_ids, pad_token_id)
+    B = prompts.shape[0]
+
+    state = batch_prefill(None, None, target_cfg, target_params, prompts, lens,
+                          int(gen_len), 0, processor, True, False, eos_ids,
+                          jax.random.fold_in(key, 0))
+    if first_token_callback is not None:
+        state.pos.block_until_ready()
+        for i in range(B):
+            first_token_callback(i)
+
+    step = 0
+    while step < gen_len + 1:
+        if bool(np.asarray(state.finished).all()):
+            break
+        for _ in range(steps_per_host_sync):
+            state = batch_ar_step(target_cfg, target_params, state, processor,
+                                  eos_ids, jax.random.fold_in(key, step + 1))
+            step += 1
+
+    buf = np.asarray(state.buf)
+    pos = np.asarray(state.pos)
+    plen = np.asarray(state.prompt_len)
+    return [buf[i, plen[i]:pos[i]].tolist() for i in range(B)]

@@ -1,0 +1,267 @@
+"""Accelerator telemetry monitor with energy integration.
+
+TPU-native rebuild of the reference's GPU monitor (ref: engine/gpu_monitor.py:
+31-533): a daemon thread samples power/utilization at a configurable interval,
+integrates energy by the trapezoidal rule (E = sum((P_i + P_{i+1})/2 * dt),
+ref :112-133), and derives avg/peak power, tokens/J, accepted-tokens/J and
+tokens/kWh (ref :206-290). A perf-callback lets the benchmark runner feed
+token counts into the same results object (ref :404-433 cross-wiring).
+
+Where the reference shells out to ``nvidia-smi`` (ref :369-381), TPUs expose no
+equally universal interface, so sampling is pluggable (SURVEY.md §7.3):
+
+- ``DeviceKindTdpSampler`` — chip-count x nominal TDP for the detected device
+  kind, clearly labeled ``estimated`` in results
+- ``CallableSampler`` — adapter for any callable returning watts (libtpu /
+  cloud-monitoring readers can be plugged in without touching the math)
+- ``NullSampler`` — timing-only runs (power fields zero, ``power_source: none``)
+
+The integration/efficiency layer is source-agnostic and unit-tested against
+hand-computed cases, which the reference never did.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import threading
+import time
+from typing import Callable, Dict, List, Optional
+
+
+# nominal board TDP (watts/chip) for common TPU generations; used only by the
+# clearly-labeled estimator fallback
+_TPU_TDP_WATTS = {
+    "v4": 170.0,
+    "v5 lite": 140.0,  # v5e
+    "v5e": 140.0,
+    "v5p": 250.0,
+    "v6e": 170.0,
+}
+_DEFAULT_TDP = 150.0
+
+
+@dataclasses.dataclass
+class PowerSnapshot:
+    timestamp: float
+    power_w: float
+    utilization_pct: float = 0.0
+    memory_pct: float = 0.0
+    temperature_c: float = 0.0
+
+
+class NullSampler:
+    source = "none"
+
+    def sample(self) -> Optional[PowerSnapshot]:
+        return PowerSnapshot(time.time(), 0.0)
+
+
+class CallableSampler:
+    """Wrap any callable returning instantaneous watts."""
+
+    source = "callable"
+
+    def __init__(self, fn: Callable[[], float]):
+        self._fn = fn
+
+    def sample(self) -> Optional[PowerSnapshot]:
+        try:
+            return PowerSnapshot(time.time(), float(self._fn()))
+        except Exception:
+            return None
+
+
+class DeviceKindTdpSampler:
+    """Estimate draw as num_chips x nominal TDP for the detected device kind."""
+
+    source = "estimated_tdp"
+
+    def __init__(self, devices=None):
+        if devices is None:
+            try:
+                import jax
+                devices = jax.devices()
+            except Exception:
+                devices = []
+        self.num_chips = max(1, len(devices))
+        kind = (devices[0].device_kind.lower() if devices else "")
+        tdp = _DEFAULT_TDP
+        for name, watts in _TPU_TDP_WATTS.items():
+            if name in kind:
+                tdp = watts
+                break
+        self.watts = tdp * self.num_chips
+        self.device_kind = kind or "unknown"
+
+    def sample(self) -> Optional[PowerSnapshot]:
+        return PowerSnapshot(time.time(), self.watts)
+
+
+@dataclasses.dataclass
+class MonitorResults:
+    """Aggregated telemetry (schema parity with ref GPUMonitorResults
+    :68-314, minus fields that have no TPU analog)."""
+
+    snapshots: List[PowerSnapshot] = dataclasses.field(default_factory=list)
+    power_source: str = "none"
+    num_chips: int = 1
+
+    total_tokens: int = 0
+    accepted_tokens: int = 0
+
+    start_time: float = 0.0
+    end_time: float = 0.0
+
+    @property
+    def duration(self) -> float:
+        return max(0.0, self.end_time - self.start_time)
+
+    @property
+    def energy_joules(self) -> float:
+        """Trapezoidal integration of power over time (ref :112-133)."""
+        snaps = self.snapshots
+        if len(snaps) < 2:
+            return 0.0
+        total = 0.0
+        for a, b in zip(snaps, snaps[1:]):
+            dt = b.timestamp - a.timestamp
+            if dt > 0:
+                total += 0.5 * (a.power_w + b.power_w) * dt
+        return total
+
+    @property
+    def energy_wh(self) -> float:
+        return self.energy_joules / 3600.0
+
+    @property
+    def energy_kwh(self) -> float:
+        return self.energy_wh / 1000.0
+
+    @property
+    def avg_power_w(self) -> float:
+        if not self.snapshots:
+            return 0.0
+        return sum(s.power_w for s in self.snapshots) / len(self.snapshots)
+
+    @property
+    def peak_power_w(self) -> float:
+        return max((s.power_w for s in self.snapshots), default=0.0)
+
+    @property
+    def avg_utilization_pct(self) -> float:
+        if not self.snapshots:
+            return 0.0
+        return sum(s.utilization_pct for s in self.snapshots) / len(self.snapshots)
+
+    @property
+    def peak_temperature_c(self) -> float:
+        return max((s.temperature_c for s in self.snapshots), default=0.0)
+
+    @property
+    def tokens_per_joule(self) -> float:
+        e = self.energy_joules
+        return self.total_tokens / e if e > 0 else 0.0
+
+    @property
+    def accepted_tokens_per_joule(self) -> float:
+        e = self.energy_joules
+        return self.accepted_tokens / e if e > 0 else 0.0
+
+    @property
+    def tokens_per_kwh(self) -> float:
+        e = self.energy_kwh
+        return self.total_tokens / e if e > 0 else 0.0
+
+    def to_dict(self) -> Dict:
+        return {
+            "power_source": self.power_source,
+            "num_chips": self.num_chips,
+            "duration_s": self.duration,
+            "samples": len(self.snapshots),
+            "avg_power_w": self.avg_power_w,
+            "peak_power_w": self.peak_power_w,
+            "avg_utilization_pct": self.avg_utilization_pct,
+            "peak_temperature_c": self.peak_temperature_c,
+            "energy_joules": self.energy_joules,
+            "energy_wh": self.energy_wh,
+            "energy_kwh": self.energy_kwh,
+            "total_tokens": self.total_tokens,
+            "accepted_tokens": self.accepted_tokens,
+            "tokens_per_joule": self.tokens_per_joule,
+            "accepted_tokens_per_joule": self.accepted_tokens_per_joule,
+            "tokens_per_kwh": self.tokens_per_kwh,
+        }
+
+    def save_json(self, filepath: str):
+        with open(filepath, "w") as f:
+            json.dump(self.to_dict(), f, indent=2)
+
+
+class TelemetryMonitor:
+    """Daemon-thread sampler (ref GPUMonitor :317-471). ``stop()`` RETURNS the
+    results — fixing the reference bug where ``stop()`` returned None and the
+    vLLM path silently lost all GPU results (ref vllm_benchmark.py:345,
+    gpu_monitor.py:450-460)."""
+
+    def __init__(self, sampler=None, interval_s: float = 1.0,
+                 perf_callback: Optional[Callable[[], Dict]] = None):
+        self.sampler = sampler or DeviceKindTdpSampler()
+        self.interval_s = interval_s
+        self.perf_callback = perf_callback
+        self.results = MonitorResults(
+            power_source=getattr(self.sampler, "source", "unknown"),
+            num_chips=getattr(self.sampler, "num_chips", 1))
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+    def _loop(self):
+        while not self._stop.is_set():
+            snap = self.sampler.sample()
+            if snap is not None:
+                self.results.snapshots.append(snap)
+            if self.perf_callback is not None:
+                try:
+                    perf = self.perf_callback() or {}
+                    self.results.total_tokens = int(
+                        perf.get("total_tokens", self.results.total_tokens))
+                    self.results.accepted_tokens = int(
+                        perf.get("accepted_tokens", self.results.accepted_tokens))
+                except Exception:
+                    pass
+            self._stop.wait(self.interval_s)
+
+    def start(self):
+        self.results.start_time = time.time()
+        self._stop.clear()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> MonitorResults:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5.0)
+        # final bracketing sample so short runs still integrate
+        snap = self.sampler.sample()
+        if snap is not None:
+            self.results.snapshots.append(snap)
+        self.results.end_time = time.time()
+        return self.results
+
+
+def print_power_summary(results: MonitorResults):
+    print("\n" + "=" * 70)
+    print(f"Accelerator Telemetry (source: {results.power_source}, "
+          f"{results.num_chips} chip(s))")
+    print("=" * 70)
+    print(f"  Duration:            {results.duration:.2f} s "
+          f"({len(results.snapshots)} samples)")
+    print(f"  Avg Power:           {results.avg_power_w:.1f} W")
+    print(f"  Peak Power:          {results.peak_power_w:.1f} W")
+    print(f"  Energy:              {results.energy_joules:.1f} J "
+          f"({results.energy_wh:.4f} Wh)")
+    print(f"  Tokens/J:            {results.tokens_per_joule:.3f}")
+    print(f"  Accepted Tokens/J:   {results.accepted_tokens_per_joule:.3f}")
+    print(f"  Tokens/kWh:          {results.tokens_per_kwh:,.0f}")
+    if results.power_source == "estimated_tdp":
+        print("  NOTE: power is a nominal-TDP estimate, not a measurement.")
+    print("=" * 70)
