@@ -30,6 +30,13 @@ from specdec_tpu.core.cache import KVCache, init_cache, write_block
 from specdec_tpu.core.config import ModelConfig
 from specdec_tpu.core.rope import apply_rope, rope_cos_sin
 
+
+def _mm(x, w):
+    """Dense or quantized matmul (weight-only INT8/NF4 go through the fused
+    Pallas dequant-matmul kernel — see specdec_tpu/quant, ops/quant_matmul)."""
+    from specdec_tpu.quant.core import qmatmul
+    return qmatmul(x, w)
+
 Params = Dict[str, Any]
 
 _NEG_INF = -1e30
@@ -100,9 +107,9 @@ def _block(cfg: ModelConfig, lp: Params, x, cos, sin, q_pos,
     Hq, Hk, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
     h = _norm(cfg, x, lp["attn_norm_w"], lp.get("attn_norm_b"))
-    q = h @ lp["wq"]
-    k = h @ lp["wk"]
-    v = h @ lp["wv"]
+    q = _mm(h, lp["wq"])
+    k = _mm(h, lp["wk"])
+    v = _mm(h, lp["wv"])
     if cfg.attn_qkv_bias:
         q = q + lp["bq"]
         k = k + lp["bk"]
@@ -119,7 +126,7 @@ def _block(cfg: ModelConfig, lp: Params, x, cos, sin, q_pos,
 
     layer_k, layer_v = write_block(layer_k, layer_v, k, v, offsets)
     attn = _attention(cfg, q, layer_k, layer_v, q_pos, None)
-    attn = attn @ lp["wo"]
+    attn = _mm(attn, lp["wo"])
     if cfg.attn_out_bias:
         attn = attn + lp["bo"]
 
@@ -130,18 +137,18 @@ def _block(cfg: ModelConfig, lp: Params, x, cos, sin, q_pos,
         m = _norm(cfg, x, lp["mlp_norm_w"], lp.get("mlp_norm_b"))
 
     if cfg.gated_mlp:
-        gate = m @ lp["w_gate"]
-        up = m @ lp["w_up"]
+        gate = _mm(m, lp["w_gate"])
+        up = _mm(m, lp["w_up"])
         if cfg.mlp_bias:
             gate = gate + lp["b_gate"]
             up = up + lp["b_up"]
         mlp = _act(cfg, gate) * up
     else:
-        up = m @ lp["w_up"]
+        up = _mm(m, lp["w_up"])
         if cfg.mlp_bias:
             up = up + lp["b_up"]
         mlp = _act(cfg, up)
-    mlp = mlp @ lp["w_down"]
+    mlp = _mm(mlp, lp["w_down"])
     if cfg.mlp_bias:
         mlp = mlp + lp["b_down"]
 
@@ -178,9 +185,11 @@ def forward_step(cfg: ModelConfig, params: Params, tokens: jax.Array,
     x, (new_k, new_v) = lax.scan(body, x, (params["layers"], cache.k, cache.v))
 
     x = _norm(cfg, x, params["final_norm_w"], params.get("final_norm_b"))
-    head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
-    logits = jnp.einsum("btd,dv->btv", x, head,
-                        preferred_element_type=jnp.float32)
+    if cfg.tie_embeddings:
+        logits = jnp.einsum("btd,vd->btv", x, params["embed"],
+                            preferred_element_type=jnp.float32)
+    else:
+        logits = _mm(x, params["lm_head"]).astype(jnp.float32)
     if cfg.logit_softcap > 0.0:
         logits = jnp.tanh(logits / cfg.logit_softcap) * cfg.logit_softcap
     new_cache = KVCache(k=new_k, v=new_v, length=cache.length + T)

@@ -1,0 +1,147 @@
+"""Batch inference entry with metrics collection.
+
+Parity surface for the reference's ``infer_batch`` (ref:
+engine/infer_engine.py:10-96) and its metric-collecting wrappers
+``run_batch_speculative`` / ``run_batch_target`` (ref :99-147, :362-406):
+chat-template formatting, tokenization, dispatch on the runner's configured
+method, per-request RequestMetrics with TTFT/latency, graceful failure
+(None metrics on error — ref :144-146). The decode engines themselves live in
+engine/batch_engine.py (jitted whole-batch window steps).
+"""
+from __future__ import annotations
+
+import time
+import traceback
+from typing import List, Optional, Tuple
+
+import jax
+
+from specdec_tpu.engine.batch_engine import (
+    batch_autoregressive_generate, batch_speculative_generate,
+)
+from specdec_tpu.engine.metrics import BatchMetrics, RequestMetrics
+
+
+def tokenize_batch(tokenizer, prompts: List[str], max_length: int,
+                   chat: bool = True) -> List[List[int]]:
+    """Chat-template + tokenize each prompt (ref: engine/batch_decode.py:6-25;
+    padding happens later inside the engine, which masks pads properly)."""
+    ids = []
+    for p in prompts:
+        if chat and getattr(tokenizer, "chat_template", None):
+            text = tokenizer.apply_chat_template(
+                [{"role": "user", "content": p}],
+                add_generation_prompt=True, tokenize=False)
+        else:
+            text = p
+        toks = tokenizer.encode(text)
+        ids.append([int(t) for t in toks][:max_length])
+    return ids
+
+
+def infer_batch(ctx, prompts: List[str]) -> Tuple[Optional[BatchMetrics],
+                                                  Optional[BatchMetrics]]:
+    """Run one batch through the configured method; returns
+    (spec_metrics, target_metrics) — exactly one is non-None (ref :78-96)."""
+    prompt_ids = tokenize_batch(ctx.tokenizer, prompts, ctx.max_batch_length,
+                                chat=ctx.chat)
+    if ctx.reset_in_between and ctx.ngram is not None:
+        ctx.ngram.reset()
+
+    if ctx.spec:
+        return _run_spec(ctx, prompt_ids), None
+    if ctx.target_gen:
+        return None, _run_target(ctx, prompt_ids)
+    return None, None
+
+
+def _collect(batch_metrics: BatchMetrics, prompt_ids, outputs, rates,
+             start_times, first_token_times):
+    for i, out in enumerate(outputs):
+        r = RequestMetrics()
+        r.start_time = start_times[i]
+        r.prompt_tokens = len(prompt_ids[i])
+        r.generated_tokens = len(out)
+        r.total_tokens = r.prompt_tokens + r.generated_tokens
+        r.end_time = batch_metrics.batch_end_time
+        if rates is not None:
+            r.acceptance_rate = rates[i]
+        if first_token_times[i] is not None:
+            r.first_token_time = first_token_times[i]
+            r.ttft = first_token_times[i] - start_times[i]
+        else:
+            r.ttft = (batch_metrics.batch_end_time - start_times[i]) / \
+                max(r.generated_tokens, 1)
+        r.total_latency = batch_metrics.batch_end_time - start_times[i]
+        batch_metrics.requests.append(r)
+
+
+def _run_spec(ctx, prompt_ids) -> Optional[BatchMetrics]:
+    bm = BatchMetrics(batch_size=len(prompt_ids))
+    bm.batch_start_time = time.time()
+    start_times = [bm.batch_start_time] * len(prompt_ids)
+    first_token_times: List[Optional[float]] = [None] * len(prompt_ids)
+
+    def on_first_token(i):
+        if first_token_times[i] is None:
+            first_token_times[i] = time.time()
+
+    try:
+        if ctx.ngram is not None:
+            # batched NASD: sequentialized over the batch (the n-gram store is
+            # a shared host structure; per-seq loop keeps ref update order)
+            from specdec_tpu.ngram.assisted import (
+                ngram_assisted_speculative_generate,
+            )
+            outputs, rates = [], []
+            for i, ids in enumerate(prompt_ids):
+                out, rate = ngram_assisted_speculative_generate(
+                    ids, ctx.ngram, ctx.target_cfg, ctx.target_params,
+                    gamma=ctx.gamma, filler_top_k=ctx.filler_top_k,
+                    logits_processor=ctx.processor, max_gen_len=ctx.gen_len,
+                    eos_tokens_id=ctx.end_tokens,
+                    pad_token_id=ctx.pad_token_id,
+                    key=jax.random.fold_in(ctx.request_key(), i))
+                on_first_token(i)
+                outputs.append(out)
+                rates.append(rate)
+        else:
+            outputs, rates = batch_speculative_generate(
+                prompt_ids, ctx.drafter_cfg, ctx.drafter_params,
+                ctx.target_cfg, ctx.target_params,
+                gamma=ctx.gamma, gen_len=ctx.gen_len,
+                logits_processor=ctx.processor, eos_tokens_id=ctx.end_tokens,
+                pad_token_id=ctx.pad_token_id, key=ctx.request_key(),
+                first_token_callback=on_first_token)
+        bm.batch_end_time = time.time()
+        _collect(bm, prompt_ids, outputs, rates, start_times, first_token_times)
+        return bm
+    except Exception as e:
+        print(f"batch speculative decoding failed: {e}")
+        traceback.print_exc()
+        return None
+
+
+def _run_target(ctx, prompt_ids) -> Optional[BatchMetrics]:
+    bm = BatchMetrics(batch_size=len(prompt_ids))
+    bm.batch_start_time = time.time()
+    start_times = [bm.batch_start_time] * len(prompt_ids)
+    first_token_times: List[Optional[float]] = [None] * len(prompt_ids)
+
+    def on_first_token(i):
+        if first_token_times[i] is None:
+            first_token_times[i] = time.time()
+
+    try:
+        outputs = batch_autoregressive_generate(
+            prompt_ids, ctx.target_cfg, ctx.target_params,
+            gen_len=ctx.gen_len, logits_processor=ctx.processor,
+            eos_tokens_id=ctx.end_tokens, pad_token_id=ctx.pad_token_id,
+            key=ctx.request_key(), first_token_callback=on_first_token)
+        bm.batch_end_time = time.time()
+        _collect(bm, prompt_ids, outputs, None, start_times, first_token_times)
+        return bm
+    except Exception as e:
+        print(f"batch target generation failed: {e}")
+        traceback.print_exc()
+        return None

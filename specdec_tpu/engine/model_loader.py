@@ -1,0 +1,162 @@
+"""Model + tokenizer loading for the benchmark harness.
+
+Reference behavior (ref: engine/model_loader.py:13-141): load target + drafter
+HF checkpoints, pad-token fallback to EOS, append the Qwen ``<|im_end|>`` token
+to the end-token set, and place models on GPUs via env strings. The TPU build
+replaces GPU placement with mesh sharding (specdec_tpu.parallel): the target is
+TP-sharded over the 'model' axis when a mesh is provided, the drafter
+replicated (SURVEY.md §2.7 row 1).
+
+Because this environment has no network access, model paths may also be
+``synthetic:<preset>`` — realistic-shaped random-weight models with a
+deterministic byte-level tokenizer, so every harness path (and the perf
+benchmarks) run without checkpoints. Real local HF checkpoint dirs load
+through core/hf_loader.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from specdec_tpu.core.config import ModelConfig
+from specdec_tpu.core.model import init_params
+
+# realistic-shaped presets (named after the public models whose shapes they
+# mirror; weights are random — used when no checkpoint is available)
+SYNTHETIC_PRESETS: Dict[str, dict] = {
+    "llama-1b": dict(vocab_size=32000, hidden_size=2048, intermediate_size=5632,
+                     num_layers=22, num_heads=32, num_kv_heads=4, head_dim=64,
+                     max_position_embeddings=2048),
+    "llama-160m": dict(vocab_size=32000, hidden_size=768, intermediate_size=2048,
+                       num_layers=12, num_heads=12, num_kv_heads=12, head_dim=64,
+                       max_position_embeddings=2048),
+    "llama-70m": dict(vocab_size=32000, hidden_size=512, intermediate_size=1376,
+                      num_layers=6, num_heads=8, num_kv_heads=8, head_dim=64,
+                      max_position_embeddings=2048),
+    "pythia-70m": dict(vocab_size=50304, hidden_size=512, intermediate_size=2048,
+                       num_layers=6, num_heads=8, num_kv_heads=8, head_dim=64,
+                       max_position_embeddings=2048, norm_type="layernorm",
+                       act="gelu", gated_mlp=False, parallel_residual=True,
+                       rotary_pct=0.25, attn_qkv_bias=True, attn_out_bias=True,
+                       mlp_bias=True),
+    "pythia-410m": dict(vocab_size=50304, hidden_size=1024,
+                        intermediate_size=4096, num_layers=24, num_heads=16,
+                        num_kv_heads=16, head_dim=64,
+                        max_position_embeddings=2048, norm_type="layernorm",
+                        act="gelu", gated_mlp=False, parallel_residual=True,
+                        rotary_pct=0.25, attn_qkv_bias=True,
+                        attn_out_bias=True, mlp_bias=True),
+    "tiny": dict(vocab_size=2048, hidden_size=256, intermediate_size=704,
+                 num_layers=4, num_heads=8, num_kv_heads=4, head_dim=32,
+                 max_position_embeddings=1024),
+}
+
+
+class SyntheticTokenizer:
+    """Deterministic byte-level tokenizer for synthetic models: token id =
+    byte value + 3 (0=pad, 1=eos, 2=bos). Enough structure for throughput
+    benchmarking and harness tests without a vocab file."""
+
+    PAD, EOS, BOS = 0, 1, 2
+
+    def __init__(self, vocab_size: int):
+        self.vocab_size = vocab_size
+        self.pad_token_id = self.PAD
+        self.eos_token_id = self.EOS
+        self.chat_template = None
+
+    def encode(self, text: str):
+        return [self.BOS] + [3 + b for b in text.encode("utf-8")][:2000]
+
+    def decode(self, ids, skip_special_tokens: bool = True):
+        data = bytes(max(0, min(255, int(t) - 3)) for t in ids if int(t) >= 3)
+        return data.decode("utf-8", errors="replace")
+
+    def __call__(self, text, **kw):
+        return {"input_ids": self.encode(text)}
+
+
+def _synthetic(name: str, dtype) -> Dict[str, Any]:
+    preset = name.split(":", 1)[1] if ":" in name else name
+    if preset not in SYNTHETIC_PRESETS:
+        raise ValueError(f"unknown synthetic preset {preset!r}; "
+                         f"choose from {sorted(SYNTHETIC_PRESETS)}")
+    cfg = ModelConfig(dtype=dtype, **SYNTHETIC_PRESETS[preset])
+    seed = abs(hash(preset)) % (2 ** 31)
+    params = init_params(cfg, jax.random.key(seed), scale=0.02)
+    return {"cfg": cfg, "params": params}
+
+
+def load_models(
+    target_model_path: str,
+    drafter_model_path: Optional[str] = None,
+    dtype=jnp.bfloat16,
+    quantization: str = "none",          # none | int8 | nf4 (target only)
+    drafter_quantization: str = "none",
+    mesh=None,
+) -> Dict[str, Any]:
+    """Load target (+ optional drafter) and tokenizer; returns the same
+    bundle shape as the reference loader (ref: model_loader.py:131-140)."""
+    from specdec_tpu.quant import quantize_params
+
+    def load_one(path):
+        if path.startswith("synthetic"):
+            return _synthetic(path, dtype), None
+        from specdec_tpu.core.hf_loader import load_hf_model
+        cfg, params = load_hf_model(path, dtype=dtype)
+        return {"cfg": cfg, "params": params}, path
+
+    target, tok_path = load_one(target_model_path)
+    drafter = None
+    if drafter_model_path:
+        drafter, d_tok_path = load_one(drafter_model_path)
+        tok_path = tok_path or d_tok_path
+
+    if tok_path:
+        from transformers import AutoTokenizer
+        tokenizer = AutoTokenizer.from_pretrained(tok_path)
+        if tokenizer.pad_token is None:  # pad fallback to EOS (ref :119-121)
+            tokenizer.pad_token = tokenizer.eos_token
+    else:
+        tokenizer = SyntheticTokenizer(target["cfg"].vocab_size)
+
+    # end-token set: EOS + Qwen <|im_end|> when present (ref :119-127)
+    end_tokens = []
+    if tokenizer.eos_token_id is not None:
+        end_tokens.append(int(tokenizer.eos_token_id))
+    try:
+        im_end = tokenizer.convert_tokens_to_ids("<|im_end|>")
+        if im_end is not None and im_end >= 0 and im_end not in end_tokens:
+            end_tokens.append(int(im_end))
+    except Exception:
+        pass
+
+    if quantization != "none":
+        target["params"] = quantize_params(target["params"], kind=quantization)
+    if drafter is not None and drafter_quantization != "none":
+        drafter["params"] = quantize_params(drafter["params"],
+                                            kind=drafter_quantization)
+
+    if mesh is not None:
+        from specdec_tpu.parallel.mesh import shard_params
+        target["params"] = shard_params(target["params"], target["cfg"], mesh,
+                                        replicated=False)
+        if drafter is not None:
+            drafter["params"] = shard_params(drafter["params"], drafter["cfg"],
+                                             mesh, replicated=True)
+
+    if drafter is not None:
+        assert drafter["cfg"].vocab_size == target["cfg"].vocab_size, (
+            "drafter and target must share a vocabulary "
+            "(ref README.md:243-249 assumption, asserted here)")
+
+    return {
+        "target": target,
+        "drafter": drafter,
+        "tokenizer": tokenizer,
+        "end_tokens": end_tokens,
+        "pad_token_id": int(getattr(tokenizer, "pad_token_id", 0) or 0),
+    }

@@ -1,0 +1,210 @@
+"""Fused dequant + matmul Pallas TPU kernels for weight-only INT8 / NF4.
+
+This is the TPU-native replacement for the bitsandbytes CUDA kernels the
+reference declares but never enables (SURVEY.md §2, §7.4). The point of fusing:
+weight-only quantization is a *bandwidth* optimization — the win only exists if
+the int8/nf4 bytes are what crosses HBM, with dequantization happening in VMEM
+on the way into the MXU. XLA cannot be relied on to fuse dequant into a dot
+operand (it may materialize the dequantized matrix), so the hot path is a
+hand-written kernel:
+
+- grid (N-tiles, K-tiles), K innermost; f32 accumulator in VMEM scratch
+- INT8: int8 tile → bf16 in VMEM → MXU dot → scale applied once at the last
+  K step (per-output-channel scale factors out of the reduction)
+- NF4: packed uint8 tile → nibble split → gatherless 4-level select-tree
+  codebook decode → blockwise absmax scaling (inside the reduction — absmax
+  varies along K) → MXU dot. The activation is pre-split into even/odd
+  reduction columns outside the kernel so nibble unpacking never needs
+  row interleaving on the VPU.
+
+Non-TPU backends (tests, CPU mesh) fall back to XLA dequant-then-matmul, which
+doubles as the correctness oracle.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Union
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from specdec_tpu.quant.core import (
+    NF4_BLOCK, Int8Weight, NF4Weight, _nf4_decode, dequantize,
+)
+
+
+def _pad_to(x: jax.Array, axis: int, mult: int) -> jax.Array:
+    size = x.shape[axis]
+    pad = (-size) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+# ---------------------------------------------------------------------------
+# INT8
+# ---------------------------------------------------------------------------
+
+def _int8_kernel(x_ref, q_ref, scale_ref, out_ref, acc_ref):
+    k = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jnp.dot(x_ref[:].astype(jnp.bfloat16),
+                          q_ref[:].astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+
+    @pl.when(k == nk - 1)
+    def _():
+        out_ref[:] = (acc_ref[:] * scale_ref[:]).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "tile_k"))
+def _int8_matmul_2d(x: jax.Array, q: jax.Array, scale: jax.Array,
+                    tile_n: int = 512, tile_k: int = 512) -> jax.Array:
+    M, K = x.shape
+    Kq, N = q.shape
+    Mp = max(8, ((M + 7) // 8) * 8)
+    x = _pad_to(_pad_to(x, 0, Mp), 1, tile_k)
+    q = _pad_to(_pad_to(q, 0, tile_k), 1, tile_n)
+    scale = _pad_to(scale, 1, tile_n)
+    Kp, Np = q.shape
+
+    grid = (Np // tile_n, Kp // tile_k)
+    out = pl.pallas_call(
+        _int8_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Mp, tile_k), lambda n, k: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_k, tile_n), lambda n, k: (k, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda n, k: (0, n),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Mp, tile_n), lambda n, k: (0, n),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((Mp, tile_n), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * Kp * Np,
+            bytes_accessed=Mp * Kp * 2 + Kp * Np + Mp * Np * 2,
+            transcendentals=0),
+    )(x[:Mp], q, scale)
+    return out[:M, :N]
+
+
+# ---------------------------------------------------------------------------
+# NF4
+# ---------------------------------------------------------------------------
+
+def _nf4_kernel(xe_ref, xo_ref, p_ref, am_ref, out_ref, acc_ref):
+    k = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    packed = p_ref[:].astype(jnp.int32)
+    # absmax rows cover 64 real k's = 32 packed rows (even and odd k of a
+    # packed row share a 64-block) → element-repeat rows via broadcast+reshape
+    # (pltpu.repeat is tile-semantics, NOT element-repeat)
+    rep = p_ref.shape[0] // am_ref.shape[0]
+    am = am_ref[:]
+    am = jnp.broadcast_to(am[:, None, :], (am.shape[0], rep, am.shape[1]))
+    am = am.reshape(p_ref.shape[0], am_ref.shape[1])            # [TK2, TN]
+    w_lo = _nf4_decode(packed & 0xF) * am
+    w_hi = _nf4_decode(packed >> 4) * am
+    acc_ref[:] += jnp.dot(xe_ref[:].astype(jnp.bfloat16),
+                          w_lo.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+    acc_ref[:] += jnp.dot(xo_ref[:].astype(jnp.bfloat16),
+                          w_hi.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+
+    @pl.when(k == nk - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "tile_k"))
+def _nf4_matmul_2d(x: jax.Array, packed: jax.Array, absmax: jax.Array,
+                   tile_n: int = 256, tile_k: int = 256) -> jax.Array:
+    """x: [M, K]; packed: [K/2, N] u8; absmax: [K/64, N] f32."""
+    M, K = x.shape
+    K2, N = packed.shape
+    assert K == K2 * 2 and K % NF4_BLOCK == 0
+    assert tile_k % NF4_BLOCK == 0
+    tk2 = tile_k // 2
+
+    Mp = max(8, ((M + 7) // 8) * 8)
+    xe = _pad_to(_pad_to(x[:, 0::2], 0, Mp), 1, tk2)
+    xo = _pad_to(_pad_to(x[:, 1::2], 0, Mp), 1, tk2)
+    packed = _pad_to(_pad_to(packed, 0, tk2), 1, tile_n)
+    absmax = _pad_to(_pad_to(absmax, 0, tile_k // NF4_BLOCK), 1, tile_n)
+    K2p, Np = packed.shape
+
+    grid = (Np // tile_n, K2p // tk2)
+    out = pl.pallas_call(
+        _nf4_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Mp, tk2), lambda n, k: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Mp, tk2), lambda n, k: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk2, tile_n), lambda n, k: (k, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_k // NF4_BLOCK, tile_n), lambda n, k: (k, n),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Mp, tile_n), lambda n, k: (0, n),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((Mp, tile_n), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * Mp * (K2p * 2) * Np,
+            bytes_accessed=Mp * K2p * 2 * 2 + K2p * Np + Mp * Np * 2,
+            transcendentals=0),
+    )(xe[:Mp], xo[:Mp], packed, absmax)
+    return out[:M, :N]
+
+
+# ---------------------------------------------------------------------------
+# Dispatch
+# ---------------------------------------------------------------------------
+
+def _use_pallas() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def quant_matmul(x: jax.Array, w: Union[Int8Weight, NF4Weight]) -> jax.Array:
+    """x @ w for a quantized weight; x: [..., K] any float dtype.
+
+    Fused Pallas kernel on TPU, XLA dequant fallback elsewhere. Output dtype
+    follows x.
+    """
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    x2 = x.reshape(-1, K)
+    if _use_pallas():
+        if isinstance(w, Int8Weight):
+            out = _int8_matmul_2d(x2, w.q, w.scale)
+        else:
+            out = _nf4_matmul_2d(x2, w.packed, w.absmax)
+        out = out.astype(x.dtype)
+    else:
+        wd = dequantize(w, jnp.float32)
+        out = (x2.astype(jnp.float32) @ wd).astype(x.dtype)
+    return out.reshape(*lead, out.shape[-1])

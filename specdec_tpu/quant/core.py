@@ -1,0 +1,170 @@
+"""Weight-only quantization: INT8 (per-channel) and NF4 (blockwise 4-bit).
+
+The reference *declares* bitsandbytes but never enables it (every in-repo
+``quantization_config=None`` — ref: engine/model_loader.py:83,106,
+infer.py:121,125; SURVEY.md §0). The TPU build makes quantization first-class
+(BASELINE.json north star: INT8 and NF4/INT4 targets through fused Pallas
+dequant+matmul kernels):
+
+- ``Int8Weight``: symmetric per-output-channel int8, scale = absmax/127
+- ``NF4Weight``: 4-bit NormalFloat codes (QLoRA codebook) packed two-per-byte
+  along the reduction dim, blockwise absmax over 64-element column blocks
+
+Containers are pytree dataclasses, so quantized layers stack with a leading
+layer axis and traverse ``lax.scan`` exactly like dense layers. ``qmatmul``
+dispatches: dense arrays use the MXU directly; quantized weights use the
+fused Pallas kernel on TPU (ops/pallas/quant_matmul.py) and an XLA
+dequant-then-matmul fallback elsewhere — the fallback is also the correctness
+oracle for the kernel tests.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# NF4 codebook from the QLoRA paper (quantiles of N(0,1), normalized to
+# [-1, 1]); identical constants to bitsandbytes' nf4 data type.
+NF4_CODEBOOK = np.asarray([
+    -1.0, -0.6961928009986877, -0.5250730514526367, -0.39491748809814453,
+    -0.28444138169288635, -0.18477343022823334, -0.09105003625154495, 0.0,
+    0.07958029955625534, 0.16093020141124725, 0.24611230194568634,
+    0.33791524171829224, 0.44070982933044434, 0.5626170039176941,
+    0.7229568362236023, 1.0,
+], dtype=np.float32)
+
+NF4_BLOCK = 64  # absmax block length along the reduction dimension
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Int8Weight:
+    """w ≈ q * scale;  q: [..., K, N] int8, scale: [..., 1, N] f32."""
+
+    q: jax.Array
+    scale: jax.Array
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+    @property
+    def out_dtype(self):
+        return jnp.bfloat16
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class NF4Weight:
+    """w[k, n] ≈ codebook[code(k, n)] * absmax[k // 64, n].
+
+    packed: [..., K//2, N] uint8 — low nibble = even k, high nibble = odd k;
+    absmax: [..., K//64, N] f32. K (the reduction dim) must be divisible by 64.
+    """
+
+    packed: jax.Array
+    absmax: jax.Array
+
+    @property
+    def shape(self):
+        p = self.packed.shape
+        return (*p[:-2], p[-2] * 2, p[-1])
+
+    @property
+    def out_dtype(self):
+        return jnp.bfloat16
+
+
+def quantize_int8(w: jax.Array) -> Int8Weight:
+    """Symmetric per-output-channel (last dim) int8 quantization."""
+    w = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(w), axis=-2, keepdims=True)
+    scale = absmax / 127.0
+    q = jnp.clip(jnp.round(w / jnp.maximum(scale, 1e-12)), -127, 127)
+    return Int8Weight(q=q.astype(jnp.int8), scale=scale)
+
+
+def quantize_nf4(w: jax.Array) -> NF4Weight:
+    """Blockwise NF4: codes = nearest codebook entry of w/absmax per
+    64-element block along the reduction (second-to-last) dim."""
+    w = w.astype(jnp.float32)
+    *lead, K, N = w.shape
+    assert K % NF4_BLOCK == 0, f"K={K} not divisible by {NF4_BLOCK}"
+    blocks = w.reshape(*lead, K // NF4_BLOCK, NF4_BLOCK, N)
+    absmax = jnp.max(jnp.abs(blocks), axis=-2)               # [..., K/64, N]
+    normed = blocks / jnp.maximum(absmax[..., None, :], 1e-12)
+    code = jnp.argmin(
+        jnp.abs(normed[..., None] - jnp.asarray(NF4_CODEBOOK)), axis=-1)
+    code = code.reshape(*lead, K, N).astype(jnp.uint8)
+    lo = code[..., 0::2, :]
+    hi = code[..., 1::2, :]
+    packed = (lo | (hi << 4)).astype(jnp.uint8)
+    return NF4Weight(packed=packed, absmax=absmax)
+
+
+def _nf4_decode(code: jax.Array) -> jax.Array:
+    """4-bit code → codebook value via a balanced select tree (gatherless —
+    TPU-friendly inside Pallas kernels too)."""
+    c = code.astype(jnp.int32)
+    table = NF4_CODEBOOK
+
+    def level(lov, hiv, bit):
+        return jnp.where((c & bit) != 0, hiv, lov)
+
+    # binary select over 4 bits
+    vals = [jnp.float32(v) for v in table]
+    stage = [level(vals[i], vals[i + 1], 1) for i in range(0, 16, 2)]
+    stage = [jnp.where((c & 2) != 0, stage[i + 1], stage[i])
+             for i in range(0, 8, 2)]
+    stage = [jnp.where((c & 4) != 0, stage[i + 1], stage[i])
+             for i in range(0, 4, 2)]
+    return jnp.where((c & 8) != 0, stage[1], stage[0])
+
+
+def dequantize(w: Any, dtype=jnp.float32) -> jax.Array:
+    """Materialize a quantized weight (reference path + test oracle)."""
+    if isinstance(w, Int8Weight):
+        return (w.q.astype(jnp.float32) * w.scale).astype(dtype)
+    if isinstance(w, NF4Weight):
+        lo = _nf4_decode(w.packed & 0xF)
+        hi = _nf4_decode(w.packed >> 4)
+        *lead, K2, N = w.packed.shape
+        vals = jnp.stack([lo, hi], axis=-2)                 # [..., K/2, 2, N]
+        vals = vals.reshape(*lead, K2 * 2, N)
+        K = K2 * 2
+        scaled = vals.reshape(*lead, K // NF4_BLOCK, NF4_BLOCK, N) * \
+            w.absmax[..., None, :]
+        return scaled.reshape(*lead, K, N).astype(dtype)
+    return jnp.asarray(w, dtype=dtype)
+
+
+def qmatmul(x: jax.Array, w: Any, precision=None) -> jax.Array:
+    """x @ w for dense or quantized w. Dense → MXU einsum; quantized → fused
+    Pallas kernel on TPU, XLA dequant fallback elsewhere."""
+    if isinstance(w, (Int8Weight, NF4Weight)):
+        from specdec_tpu.ops.quant_matmul import quant_matmul
+        return quant_matmul(x, w)
+    return jnp.matmul(x, w, precision=precision)
+
+
+_QUANTIZABLE = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+
+
+def quantize_params(params, kind: str = "int8",
+                    quantize_lm_head: bool = True):
+    """Quantize the transformer-layer projection weights of a params pytree
+    (embeddings and norms stay dense, like bitsandbytes' default)."""
+    fn = {"int8": quantize_int8, "nf4": quantize_nf4}[kind]
+    out = dict(params)
+    layers = dict(params["layers"])
+    for name in _QUANTIZABLE:
+        if name in layers:
+            layers[name] = fn(layers[name])
+    out["layers"] = layers
+    if quantize_lm_head and "lm_head" in params:
+        out["lm_head"] = fn(params["lm_head"])
+    return out

@@ -1,0 +1,133 @@
+"""End-to-end harness tests: env-var config → models → benchmark loop →
+JSON artifacts, on synthetic tiny models. Also unit-tests the telemetry
+energy integration against hand-computed trapezoids."""
+import json
+import os
+
+import pytest
+
+from specdec_tpu.engine.monitor import (
+    MonitorResults, PowerSnapshot, TelemetryMonitor,
+)
+
+
+def _write_sharegpt(tmp_path):
+    d = tmp_path / "sharegpt"
+    d.mkdir()
+    rows = [
+        {"conversations": [
+            {"from": "human", "value": "Tell me about speculative decoding."},
+            {"from": "gpt", "value": "It drafts then verifies."},
+        ]},
+        {"conversations": [
+            {"from": "human", "value": "What is a TPU systolic array for?"},
+        ]},
+    ]
+    with open(d / "sharegpt_gpt4.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return str(d)
+
+
+@pytest.fixture
+def bench_env(tmp_path, monkeypatch):
+    monkeypatch.setenv("TARGET_MODEL", "synthetic:tiny")
+    monkeypatch.setenv("DRAFTER_MODEL", "synthetic:tiny")
+    monkeypatch.setenv("GAMMA_VALUE", "3")
+    monkeypatch.setenv("GENERATION_LENGTH", "8")
+    monkeypatch.setenv("NUM_PROMPTS", "2")
+    monkeypatch.setenv("ENABLE_BATCH", "false")
+    monkeypatch.setenv("ENABLE_GPU_MONITOR", "true")
+    monkeypatch.setenv("GPU_MONITOR_INTERVAL", "0.05")
+    monkeypatch.setenv("SHAREGPT_DIR", _write_sharegpt(tmp_path))
+    monkeypatch.setenv("OUTPUT_FILE", str(tmp_path / "results.json"))
+    monkeypatch.setenv("MODEL_DTYPE", "float32")
+    return tmp_path
+
+
+def test_benchmark_runner_speculative(bench_env, monkeypatch):
+    monkeypatch.setenv("INFERENCE_METHOD", "speculative")
+    from specdec_tpu.engine.benchmark_runner import BenchmarkRunner
+
+    runner = BenchmarkRunner()
+    res = runner.spec_results
+    assert res.total_requests == 2
+    assert res.total_tokens > 0
+    assert res.overall_throughput > 0
+
+    out = bench_env / "results_speculative.json"
+    assert out.exists()
+    data = json.loads(out.read_text())
+    assert "speculative" in data
+    d = data["speculative"]
+    for key in ("total_requests", "overall_throughput", "avg_ttft",
+                "avg_latency", "avg_acceptance_rate", "batches"):
+        assert key in d
+    req = d["batches"][0]["requests"][0]
+    for key in ("prompt_tokens", "generated_tokens", "ttft", "total_latency",
+                "acceptance_rate"):
+        assert key in req
+    assert "gpu_monitoring" in data
+    gpu_file = bench_env / "results_speculative_gpu.json"
+    assert gpu_file.exists()
+
+
+def test_benchmark_runner_target_ar_batch(bench_env, monkeypatch):
+    monkeypatch.setenv("INFERENCE_METHOD", "target_ar")
+    monkeypatch.setenv("ENABLE_BATCH", "true")
+    monkeypatch.setenv("BATCH_SIZE", "2")
+    from specdec_tpu.engine.benchmark_runner import BenchmarkRunner
+
+    runner = BenchmarkRunner()
+    res = runner.target_results
+    assert res.total_requests == 2
+    assert res.total_batches == 1  # one batch of 2 (count mode caps exactly)
+    out = bench_env / "results_target_ar.json"
+    assert out.exists()
+
+
+def test_benchmark_runner_ngram(bench_env, monkeypatch):
+    monkeypatch.setenv("INFERENCE_METHOD", "ngram")
+    from specdec_tpu.engine.benchmark_runner import BenchmarkRunner
+
+    runner = BenchmarkRunner()
+    res = runner.spec_results
+    assert res.method == "ngram"
+    assert res.total_requests == 2
+    assert (bench_env / "results_ngram.json").exists()
+
+
+def test_trapezoidal_energy_hand_case():
+    r = MonitorResults()
+    r.snapshots = [PowerSnapshot(0.0, 100.0), PowerSnapshot(1.0, 200.0),
+                   PowerSnapshot(3.0, 100.0)]
+    # (100+200)/2*1 + (200+100)/2*2 = 150 + 300 = 450 J
+    assert abs(r.energy_joules - 450.0) < 1e-9
+    r.total_tokens = 900
+    assert abs(r.tokens_per_joule - 2.0) < 1e-9
+    assert abs(r.energy_wh - 450.0 / 3600) < 1e-12
+
+
+def test_monitor_thread_collects_and_stop_returns_results():
+    calls = []
+
+    class FakeSampler:
+        source = "fake"
+        num_chips = 1
+
+        def sample(self):
+            calls.append(1)
+            return PowerSnapshot(len(calls) * 0.1, 50.0)
+
+    mon = TelemetryMonitor(sampler=FakeSampler(), interval_s=0.02,
+                           perf_callback=lambda: {"total_tokens": 123,
+                                                  "accepted_tokens": 45})
+    mon.start()
+    import time
+    time.sleep(0.15)
+    results = mon.stop()  # must RETURN results (ref bug fixed)
+    assert results is not None
+    assert len(results.snapshots) >= 2
+    assert results.total_tokens == 123
+    assert results.accepted_tokens == 45
+    assert results.power_source == "fake"

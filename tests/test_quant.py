@@ -1,0 +1,126 @@
+"""Quantization tests: container round-trips, fused-kernel vs XLA-oracle
+equivalence (interpret mode), and end-to-end quantized model behavior."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from specdec_tpu.core.config import tiny_config
+from specdec_tpu.core.model import forward_full, init_params
+from specdec_tpu.quant import (
+    Int8Weight, NF4Weight, dequantize, quantize_int8, quantize_nf4,
+    quantize_params, qmatmul, NF4_CODEBOOK,
+)
+from specdec_tpu.ops.quant_matmul import _int8_matmul_2d, _nf4_matmul_2d
+
+
+RNG = np.random.default_rng(0)
+
+
+def test_int8_roundtrip_error():
+    w = jnp.asarray(RNG.normal(size=(128, 96)).astype(np.float32))
+    qw = quantize_int8(w)
+    assert qw.q.dtype == jnp.int8
+    deq = dequantize(qw)
+    # symmetric per-channel int8: max error <= scale/2 per channel
+    err = np.abs(np.asarray(deq - w))
+    scale = np.asarray(qw.scale)[0]
+    assert (err <= scale / 2 + 1e-6).all()
+
+
+def test_nf4_roundtrip_error():
+    w = jnp.asarray(RNG.normal(size=(128, 64)).astype(np.float32))
+    qw = quantize_nf4(w)
+    assert qw.packed.dtype == jnp.uint8
+    assert qw.packed.shape == (64, 64)
+    assert qw.absmax.shape == (2, 64)
+    deq = np.asarray(dequantize(qw))
+    # every dequantized value must be codebook[c] * blockwise absmax
+    am = np.repeat(np.asarray(qw.absmax), 64, axis=0)
+    normed = deq / np.maximum(am, 1e-12)
+    dist = np.abs(normed[..., None] - NF4_CODEBOOK).min(-1)
+    assert dist.max() < 1e-6
+    # reconstruction is the nearest-codebook projection
+    w_np = np.asarray(w)
+    norm_w = w_np / np.maximum(am, 1e-12)
+    nearest = NF4_CODEBOOK[np.abs(norm_w[..., None] - NF4_CODEBOOK).argmin(-1)]
+    np.testing.assert_allclose(normed, nearest, atol=1e-6)
+
+
+def test_qmatmul_fallback_matches_dense():
+    x = jnp.asarray(RNG.normal(size=(3, 128)).astype(np.float32))
+    w = jnp.asarray(RNG.normal(size=(128, 64)).astype(np.float32))
+    for quant in (quantize_int8, quantize_nf4):
+        qw = quant(w)
+        out = qmatmul(x, qw)
+        oracle = x @ dequantize(qw)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(oracle),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_int8_pallas_kernel_matches_oracle_interpret():
+    """Run the fused kernel in interpreter mode on CPU against the XLA
+    dequant oracle (non-divisible shapes exercise the padding path)."""
+    x = jnp.asarray(RNG.normal(size=(3, 160)).astype(np.float32))
+    w = jnp.asarray(RNG.normal(size=(160, 100)).astype(np.float32))
+    qw = quantize_int8(w)
+    with pltpu.force_tpu_interpret_mode():
+        out = _int8_matmul_2d(x, qw.q, qw.scale, tile_n=128, tile_k=128)
+    oracle = (x @ dequantize(qw)).astype(jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(out, dtype=np.float32),
+                               np.asarray(oracle, dtype=np.float32),
+                               rtol=2e-2, atol=2e-1)
+
+
+def test_nf4_pallas_kernel_matches_oracle_interpret():
+    x = jnp.asarray(RNG.normal(size=(2, 128)).astype(np.float32))
+    w = jnp.asarray(RNG.normal(size=(128, 96)).astype(np.float32))
+    qw = quantize_nf4(w)
+    with pltpu.force_tpu_interpret_mode():
+        out = _nf4_matmul_2d(x, qw.packed, qw.absmax, tile_n=128, tile_k=128)
+    oracle = (x @ dequantize(qw)).astype(jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(out, dtype=np.float32),
+                               np.asarray(oracle, dtype=np.float32),
+                               rtol=2e-2, atol=2e-1)
+
+
+VOCAB = 64
+CFG = tiny_config(vocab_size=VOCAB, num_layers=2, hidden_size=64,
+                  intermediate_size=128, num_heads=4, num_kv_heads=2,
+                  head_dim=16)
+
+
+def test_quantized_model_end_to_end():
+    """INT8-quantized tiny model: logits stay close to dense (same argmax for
+    most positions) and the full generation path runs."""
+    from specdec_tpu.sampling.base_decoding import autoregressive_generate
+
+    params = init_params(CFG, jax.random.key(0), scale=0.3)
+    qparams = quantize_params(params, kind="int8")
+    assert isinstance(qparams["layers"]["wq"], Int8Weight)
+    assert isinstance(qparams["lm_head"], Int8Weight)
+
+    tokens = jnp.asarray(RNG.integers(0, VOCAB, size=(1, 12)).astype(np.int32))
+    dense = np.asarray(forward_full(CFG, params, tokens))
+    quant = np.asarray(forward_full(CFG, qparams, tokens))
+    agree = (dense.argmax(-1) == quant.argmax(-1)).mean()
+    assert agree >= 0.8, f"argmax agreement {agree}"
+
+    out = autoregressive_generate([3, 5, 9], CFG, qparams, max_gen_len=8,
+                                  eos_tokens_id=(), key=jax.random.key(1))
+    assert len(out) == 8
+
+
+def test_nf4_quantized_spec_decode_runs():
+    """NF4 target + dense drafter through the speculative loop."""
+    from specdec_tpu.sampling.speculative import speculative_generate
+
+    params = init_params(CFG, jax.random.key(0), scale=0.3)
+    qparams = quantize_params(params, kind="nf4")
+    assert isinstance(qparams["layers"]["w_up"], NF4Weight)
+    out, rate = speculative_generate(
+        [3, 5, 9, 11], CFG, params, CFG, qparams, gamma=3, max_gen_len=10,
+        eos_tokens_id=(), key=jax.random.key(2))
+    assert len(out) == 10
+    assert 0.0 <= rate <= 1.0
