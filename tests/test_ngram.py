@@ -99,3 +99,62 @@ def test_nasd_stop_if_unknown_and_store_growth():
         key=jax.random.key(3))
     assert len(out) == 15
     assert len(store.counts.get(2, {})) > 0  # store adapted during generation
+
+
+def test_native_storage_matches_python_on_random_stream():
+    """The C++ store must agree with the Python reference store on
+    next_token/has_gram after identical random update/initialize streams."""
+    from specdec_tpu.ngram.native import NativeNGramStorage, native_available
+    if not native_available():
+        import pytest
+        pytest.skip("native toolchain unavailable")
+
+    import random
+    rng = random.Random(0)
+    py = NGramStorage(n=4, vocab_size=40)
+    nat = NativeNGramStorage(n=4, vocab_size=40)
+
+    seed_seq = [rng.randrange(40) for _ in range(120)]
+    py.initialize(seed_seq)
+    nat.initialize(seed_seq)
+
+    for _ in range(300):
+        ctx = [rng.randrange(40) for _ in range(rng.randrange(1, 8))]
+        toks = [rng.randrange(40) for _ in range(rng.randrange(1, 4))]
+        py.update(ctx, toks)
+        nat.update(ctx, toks)
+
+    hits = 0
+    for _ in range(500):
+        ctx = [rng.randrange(40) for _ in range(rng.randrange(1, 8))]
+        pt, pk = py.next_token(ctx)
+        nt, nk = nat.next_token(ctx)
+        assert pk == nk, f"known mismatch on {ctx}"
+        if pk:
+            hits += 1
+            assert pt == nt, f"token mismatch on {ctx}: py={pt} nat={nt}"
+        gram = ctx + [rng.randrange(40)]
+        assert py.has_gram(gram) == nat.has_gram(gram), f"has_gram {gram}"
+    assert hits > 20  # the stream must actually exercise known contexts
+
+    py.reset(); nat.reset()
+    _, pk = py.next_token([1, 2, 3])
+    _, nk = nat.next_token([1, 2, 3])
+    assert not pk and not nk
+
+
+def test_native_storage_drives_nasd():
+    from specdec_tpu.ngram.native import NativeNGramStorage, native_available
+    if not native_available():
+        import pytest
+        pytest.skip("native toolchain unavailable")
+    params = init_params(CFG, jax.random.key(0), scale=0.4)
+    prompt = [3, 14, 15, 9, 2, 6, 14, 15]
+    ar = autoregressive_generate(prompt, CFG, params, max_gen_len=15,
+                                 eos_tokens_id=(), key=jax.random.key(1))
+    store = NativeNGramStorage(n=3, vocab_size=VOCAB)
+    out, rate = ngram_assisted_speculative_generate(
+        prompt, store, CFG, params, gamma=4, filler_top_k=3,
+        max_gen_len=15, eos_tokens_id=(), key=jax.random.key(2))
+    assert out == ar
+    assert store.size() > 0

@@ -1,0 +1,69 @@
+"""Continuous-batching scheduler tests: correctness of admitted/evicted slot
+isolation (outputs must equal standalone generation), queue draining with more
+requests than slots, and per-request metrics."""
+import numpy as np
+import jax
+
+from specdec_tpu.core.config import tiny_config
+from specdec_tpu.core.model import init_params
+from specdec_tpu.sampling.base_decoding import autoregressive_generate
+from specdec_tpu.serve import ContinuousBatcher
+
+VOCAB = 32
+CFG = tiny_config(vocab_size=VOCAB, num_layers=2, hidden_size=32,
+                  intermediate_size=64, num_heads=4, num_kv_heads=2, head_dim=8)
+TARGET = init_params(CFG, jax.random.key(0), scale=0.4)
+
+
+def test_continuous_batching_matches_standalone():
+    """Self-draft greedy: every request's output must equal standalone greedy
+    AR regardless of which slot it lands in or when it was admitted."""
+    prompts = [
+        [3, 14, 15, 9, 2, 6],
+        [1, 1, 2, 3, 5, 8, 13, 21],
+        [27, 4],
+        [9, 9, 9, 1, 2],
+        [17, 30, 12, 4, 4, 8, 19],
+    ]
+    cb = ContinuousBatcher(CFG, TARGET, CFG, TARGET, num_slots=2, gamma=3,
+                           max_prompt_len=64, max_new_tokens=10,
+                           eos_tokens_id=())
+    ids = [cb.submit(p) for p in prompts]
+    done = cb.run()
+    assert sorted(done.keys()) == sorted(ids)
+    for rid, p in zip(ids, prompts):
+        expect = autoregressive_generate(p, CFG, TARGET, max_gen_len=10,
+                                         eos_tokens_id=(),
+                                         key=jax.random.key(99))
+        assert done[rid].output_ids == expect, f"request {rid} diverged"
+        m = done[rid].metrics
+        assert m.generated_tokens == 10
+        assert m.acceptance_rate == 1.0
+        assert m.total_latency > 0
+        assert m.ttft >= 0
+
+
+def test_more_requests_than_slots_single_slot():
+    cb = ContinuousBatcher(CFG, TARGET, CFG, TARGET, num_slots=1, gamma=2,
+                           max_prompt_len=64, max_new_tokens=6,
+                           eos_tokens_id=())
+    ids = [cb.submit([3, 5, 7]), cb.submit([2, 4, 6, 8])]
+    done = cb.run()
+    assert len(done) == 2
+    for rid in ids:
+        assert len(done[rid].output_ids) == 6
+
+
+def test_eos_frees_slot_early():
+    free = autoregressive_generate([3, 14, 15, 9], CFG, TARGET, max_gen_len=12,
+                                   eos_tokens_id=(), key=jax.random.key(0))
+    eos = free[3]
+    cb = ContinuousBatcher(CFG, TARGET, CFG, TARGET, num_slots=1, gamma=3,
+                           max_prompt_len=64, max_new_tokens=12,
+                           eos_tokens_id=eos)
+    rid = cb.submit([3, 14, 15, 9])
+    rid2 = cb.submit([1, 1, 2, 3, 5, 8])
+    done = cb.run()
+    out = done[rid].output_ids
+    assert eos in out and out.index(eos) == len(out) - 1
+    assert rid2 in done
