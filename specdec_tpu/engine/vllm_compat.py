@@ -1,0 +1,144 @@
+"""vLLM-tier configuration compatibility facade.
+
+The reference exposes a second engine tier through vLLM (ref:
+engine/vllm_engine.py:39-315): a ``VLLMConfig`` dataclass populated from
+``VLLM_*`` env vars, an ``AsyncLLMEngine`` manager, and vLLM-native
+speculative decoding. On TPU there is no separate engine — the native
+continuous-batching engine IS the high-performance path (SURVEY.md §7.4) —
+but the config surface is preserved so reference launch scripts work
+unchanged: the same dataclass fields and env factory (ref :279-309), with the
+parallel sizes mapped onto mesh axes and ``speculative_config`` mapped onto
+the native gamma/drafter settings. ``is_vllm_available()`` reports the native
+engine's availability (ref :313-315).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Dict, List, Optional, Sequence
+
+
+@dataclasses.dataclass
+class VLLMConfig:
+    """Field parity with ref engine/vllm_engine.py:39-60."""
+
+    model: str = ""
+    tensor_parallel_size: int = 1
+    pipeline_parallel_size: int = 1
+    gpu_memory_utilization: float = 0.85  # accepted, unused on TPU (XLA owns HBM)
+    max_model_len: int = 4096
+    max_num_seqs: int = 128
+    max_num_batched_tokens: Optional[int] = None
+    dtype: str = "bfloat16"
+    quantization: Optional[str] = None
+    enable_prefix_caching: bool = False
+    disable_log_stats: bool = True
+    speculative_config: Optional[Dict[str, Any]] = None  # {model, num_speculative_tokens}
+
+
+def create_vllm_config_from_env() -> VLLMConfig:
+    """Env factory with the reference's variable names (ref :279-309)."""
+    spec = None
+    if os.getenv("VLLM_ENABLE_SPECULATIVE", "false").lower() == "true":
+        spec = {
+            "model": os.getenv("DRAFTER_MODEL", ""),
+            "num_speculative_tokens": int(
+                os.getenv("VLLM_NUM_SPECULATIVE_TOKENS",
+                          os.getenv("GAMMA_VALUE", "5"))),
+        }
+    dtype = os.getenv("VLLM_DTYPE", "bfloat16")
+    if dtype in ("half", "float16"):
+        dtype = "bfloat16"  # TPU-native half precision
+    return VLLMConfig(
+        model=os.getenv("TARGET_MODEL", ""),
+        tensor_parallel_size=int(os.getenv("VLLM_TENSOR_PARALLEL_SIZE", "1")),
+        pipeline_parallel_size=int(os.getenv("VLLM_PIPELINE_PARALLEL_SIZE", "1")),
+        gpu_memory_utilization=float(
+            os.getenv("VLLM_GPU_MEMORY_UTILIZATION", "0.85")),
+        max_model_len=int(os.getenv("VLLM_MAX_MODEL_LEN", "4096")),
+        max_num_seqs=int(os.getenv("VLLM_MAX_NUM_SEQS", "128")),
+        max_num_batched_tokens=(
+            int(os.environ["VLLM_MAX_NUM_BATCHED_TOKENS"])
+            if os.getenv("VLLM_MAX_NUM_BATCHED_TOKENS") else None),
+        dtype=dtype,
+        quantization=os.getenv("VLLM_QUANTIZATION") or None,
+        enable_prefix_caching=os.getenv("VLLM_ENABLE_PREFIX_CACHING",
+                                        "false").lower() == "true",
+        disable_log_stats=os.getenv("VLLM_DISABLE_LOG_STATS",
+                                    "true").lower() == "true",
+        speculative_config=spec,
+    )
+
+
+class VLLMEngineManager:
+    """API-parity manager (ref :62-276) over the native continuous batcher."""
+
+    def __init__(self, config: VLLMConfig):
+        self.config = config
+        self.batcher = None
+        self.tokenizer = None
+        self._end_tokens: List[int] = []
+
+    def initialize(self, num_slots: Optional[int] = None):
+        import jax
+        import jax.numpy as jnp
+
+        from specdec_tpu.engine.model_loader import load_models
+        from specdec_tpu.serve.scheduler import ContinuousBatcher
+
+        mesh = None
+        tp = self.config.tensor_parallel_size
+        if tp > 1 and len(jax.devices()) >= tp:
+            from specdec_tpu.parallel.mesh import build_mesh
+            mesh = build_mesh(jax.devices()[:tp], tp=tp, dp=1)
+
+        spec = self.config.speculative_config or {}
+        drafter_path = spec.get("model") or os.getenv("DRAFTER_MODEL")
+        gamma = int(spec.get("num_speculative_tokens", 5))
+        dtype = jnp.bfloat16 if self.config.dtype == "bfloat16" else jnp.float32
+        quant = self.config.quantization or "none"
+
+        bundle = load_models(self.config.model, drafter_path, dtype=dtype,
+                             quantization=quant, mesh=mesh)
+        self.tokenizer = bundle["tokenizer"]
+        self._end_tokens = bundle["end_tokens"]
+        drafter = bundle["drafter"] or bundle["target"]  # self-draft fallback
+        self.batcher = ContinuousBatcher(
+            drafter["cfg"], drafter["params"],
+            bundle["target"]["cfg"], bundle["target"]["params"],
+            num_slots=num_slots or min(self.config.max_num_seqs, 8),
+            gamma=gamma,
+            max_prompt_len=min(self.config.max_model_len, 2048),
+            max_new_tokens=256,
+            eos_tokens_id=self._end_tokens,
+            pad_token_id=bundle["pad_token_id"])
+        return True
+
+    def generate(self, prompt: str, max_tokens: int = 100) -> str:
+        """Single-request generation (ref :157-208)."""
+        assert self.batcher is not None, "call initialize() first"
+        ids = self.tokenizer.encode(prompt)
+        rid = self.batcher.submit(ids, max_new_tokens=max_tokens)
+        while rid not in self.batcher.completed:
+            self.batcher.step()
+        out = self.batcher.completed[rid].output_ids
+        return self.tokenizer.decode(out, skip_special_tokens=True)
+
+    def generate_batch(self, prompts: Sequence[str],
+                       max_tokens: int = 100) -> List[str]:
+        """True concurrent batch (the reference sequentializes with a TODO,
+        ref :256-258 — fixed here by the continuous batcher)."""
+        assert self.batcher is not None
+        rids = [self.batcher.submit(self.tokenizer.encode(p),
+                                    max_new_tokens=max_tokens)
+                for p in prompts]
+        self.batcher.run()
+        return [self.tokenizer.decode(self.batcher.completed[r].output_ids,
+                                      skip_special_tokens=True)
+                for r in rids]
+
+
+def is_vllm_available() -> bool:
+    """The native engine is always available (ref :313-315 checked the vllm
+    import; there is no optional dependency here)."""
+    return True

@@ -131,3 +131,38 @@ def test_monitor_thread_collects_and_stop_returns_results():
     assert results.total_tokens == 123
     assert results.accepted_tokens == 45
     assert results.power_source == "fake"
+
+
+def test_vllm_compat_config_from_env(monkeypatch):
+    from specdec_tpu.engine.vllm_compat import (
+        VLLMConfig, create_vllm_config_from_env, is_vllm_available,
+    )
+    monkeypatch.setenv("TARGET_MODEL", "synthetic:tiny")
+    monkeypatch.setenv("DRAFTER_MODEL", "synthetic:tiny")
+    monkeypatch.setenv("VLLM_TENSOR_PARALLEL_SIZE", "4")
+    monkeypatch.setenv("VLLM_MAX_MODEL_LEN", "2048")
+    monkeypatch.setenv("VLLM_DTYPE", "half")
+    monkeypatch.setenv("VLLM_ENABLE_SPECULATIVE", "true")
+    monkeypatch.setenv("VLLM_NUM_SPECULATIVE_TOKENS", "7")
+    cfg = create_vllm_config_from_env()
+    assert isinstance(cfg, VLLMConfig)
+    assert cfg.tensor_parallel_size == 4
+    assert cfg.max_model_len == 2048
+    assert cfg.dtype == "bfloat16"  # half maps to TPU-native bf16
+    assert cfg.speculative_config["num_speculative_tokens"] == 7
+    assert is_vllm_available()
+
+
+def test_vllm_compat_manager_generates(monkeypatch):
+    from specdec_tpu.engine.vllm_compat import (
+        VLLMConfig, VLLMEngineManager,
+    )
+    cfg = VLLMConfig(model="synthetic:tiny", dtype="float32",
+                     speculative_config={"model": "synthetic:tiny",
+                                         "num_speculative_tokens": 3})
+    mgr = VLLMEngineManager(cfg)
+    assert mgr.initialize(num_slots=2)
+    out = mgr.generate("hello", max_tokens=6)
+    assert isinstance(out, str)
+    outs = mgr.generate_batch(["a", "bb"], max_tokens=5)
+    assert len(outs) == 2

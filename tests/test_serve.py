@@ -67,3 +67,21 @@ def test_eos_frees_slot_early():
     out = done[rid].output_ids
     assert eos in out and out.index(eos) == len(out) - 1
     assert rid2 in done
+
+
+def test_server_benchmark_open_loop():
+    """Rate-paced arrivals into the continuous batcher produce per-request
+    metrics with exact token counts."""
+    from specdec_tpu.engine.server_benchmark import run_server_benchmark
+
+    cb = ContinuousBatcher(CFG, TARGET, CFG, TARGET, num_slots=2, gamma=3,
+                           max_prompt_len=64, max_new_tokens=8,
+                           eos_tokens_id=())
+    prompts = [[3, 14, 15], [1, 2, 3, 4], [9, 8, 7], [5, 5, 5, 5, 5]]
+    res = run_server_benchmark(cb, prompts, rate=50.0)
+    assert res.total_requests == 4
+    assert res.total_tokens == 4 * 8
+    assert res.overall_throughput > 0
+    for b in res.batches:
+        assert b.requests[0].ttft >= 0
+        assert b.requests[0].generated_tokens == 8
