@@ -129,7 +129,7 @@ def batch_prefill(drafter_cfg: Optional[ModelConfig], drafter_params,
 
 @partial(jax.jit, static_argnames=(
     "drafter_cfg", "target_cfg", "gamma", "processor", "eos_ids",
-    "skip_sample_adjustment"))
+    "skip_sample_adjustment"), donate_argnames=("state",))
 def batch_spec_window(drafter_cfg: ModelConfig, drafter_params,
                       target_cfg: ModelConfig, target_params,
                       state: BatchState, gamma: int,
@@ -229,7 +229,8 @@ def batch_spec_window(drafter_cfg: ModelConfig, drafter_params,
         accepted=accepted, speculated=speculated)
 
 
-@partial(jax.jit, static_argnames=("target_cfg", "processor", "eos_ids"))
+@partial(jax.jit, static_argnames=("target_cfg", "processor", "eos_ids"),
+         donate_argnames=("state",))
 def batch_ar_step(target_cfg: ModelConfig, target_params, state: BatchState,
                   processor: LogitsProcessor, eos_ids: Tuple[int, ...],
                   key: jax.Array) -> BatchState:

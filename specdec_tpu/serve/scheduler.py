@@ -51,7 +51,8 @@ class Request:
 
 
 @partial(jax.jit, static_argnames=(
-    "drafter_cfg", "target_cfg", "processor", "eos_ids", "slot"))
+    "drafter_cfg", "target_cfg", "processor", "eos_ids", "slot"),
+         donate_argnames=("state",))
 def _admit_slot(drafter_cfg: ModelConfig, drafter_params,
                 target_cfg: ModelConfig, target_params,
                 state: BatchState, slot: int,

@@ -1,0 +1,101 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh (SURVEY.md §4e):
+TP/DP-sharded speculative decoding must produce exactly the same tokens as the
+unsharded single-device run, and params/caches must actually be distributed."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from specdec_tpu.core.config import tiny_config
+from specdec_tpu.core.model import forward_full, init_params
+from specdec_tpu.engine.batch_engine import batch_speculative_generate
+from specdec_tpu.parallel.mesh import (
+    DATA_AXIS, MODEL_AXIS, build_mesh, param_pspecs, shard_params,
+)
+
+CFG = tiny_config(vocab_size=64, num_layers=2, hidden_size=64,
+                  intermediate_size=128, num_heads=8, num_kv_heads=4,
+                  head_dim=8)
+
+PROMPTS = [
+    [3, 14, 15, 9, 2, 6],
+    [1, 1, 2, 3, 5, 8, 13, 21],
+    [27, 4, 9],
+    [40, 41, 42, 43],
+]
+
+
+@pytest.fixture(scope="module")
+def models():
+    target = init_params(CFG, jax.random.key(0), scale=0.3)
+    noise = init_params(CFG, jax.random.key(1), scale=0.05)
+    drafter = jax.tree.map(lambda a, b: a + b, target, noise)
+    return target, drafter
+
+
+def test_mesh_builder_shapes():
+    mesh = build_mesh(jax.devices(), tp=4, dp=2)
+    assert mesh.shape == {DATA_AXIS: 2, MODEL_AXIS: 4}
+    mesh = build_mesh(jax.devices())
+    assert mesh.shape[MODEL_AXIS] == 8
+
+
+def test_sharded_params_are_distributed(models):
+    target, _ = models
+    mesh = build_mesh(jax.devices(), tp=4, dp=2)
+    sharded = shard_params(target, CFG, mesh, replicated=False)
+    wq = sharded["layers"]["wq"]
+    # column-parallel: each device holds 1/4 of the head dim
+    shard_shapes = {s.data.shape for s in wq.addressable_shards}
+    assert shard_shapes == {(CFG.num_layers, CFG.hidden_size,
+                             CFG.num_heads * CFG.head_dim // 4)}
+    # replicated drafter: full shards everywhere
+    repl = shard_params(target, CFG, mesh, replicated=True)
+    shard_shapes = {s.data.shape for s in repl["layers"]["wq"].addressable_shards}
+    assert shard_shapes == {tuple(repl["layers"]["wq"].shape)}
+
+
+def test_sharded_forward_matches_unsharded(models):
+    target, _ = models
+    tokens = jnp.asarray(np.random.default_rng(0).integers(
+        0, 64, size=(4, 12)).astype(np.int32))
+    base = np.asarray(forward_full(CFG, target, tokens))
+
+    mesh = build_mesh(jax.devices(), tp=4, dp=2)
+    sharded = shard_params(target, CFG, mesh, replicated=False)
+    st = jax.device_put(tokens, NamedSharding(mesh, P(DATA_AXIS, None)))
+    out = np.asarray(forward_full(CFG, sharded, st))
+    np.testing.assert_allclose(out, base, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_spec_decode_matches_unsharded(models):
+    """The full batched speculative generation on a dp x tp mesh (TP-sharded
+    target, replicated drafter) must be token-identical to single-device."""
+    target, drafter = models
+    base, base_rates = batch_speculative_generate(
+        PROMPTS, CFG, drafter, CFG, target, gamma=3, gen_len=12,
+        eos_tokens_id=(), key=jax.random.key(5))
+
+    mesh = build_mesh(jax.devices(), tp=4, dp=2)
+    t_sharded = shard_params(target, CFG, mesh, replicated=False)
+    d_repl = shard_params(drafter, CFG, mesh, replicated=True)
+    outs, rates = batch_speculative_generate(
+        PROMPTS, CFG, d_repl, CFG, t_sharded, gamma=3, gen_len=12,
+        eos_tokens_id=(), key=jax.random.key(5))
+    assert outs == base
+    np.testing.assert_allclose(rates, base_rates)
+
+
+def test_pure_tp_8way(models):
+    target, drafter = models
+    base, _ = batch_speculative_generate(
+        PROMPTS[:2], CFG, drafter, CFG, target, gamma=3, gen_len=8,
+        eos_tokens_id=(), key=jax.random.key(6))
+    mesh = build_mesh(jax.devices())  # 8-way model parallel
+    t_sharded = shard_params(target, CFG, mesh, replicated=False)
+    d_repl = shard_params(drafter, CFG, mesh, replicated=True)
+    outs, _ = batch_speculative_generate(
+        PROMPTS[:2], CFG, d_repl, CFG, t_sharded, gamma=3, gen_len=8,
+        eos_tokens_id=(), key=jax.random.key(6))
+    assert outs == base
