@@ -41,6 +41,10 @@ class ModelConfig:
     # logit soft-capping (gemma2-style); 0 disables
     logit_softcap: float = 0.0
 
+    # "xla" (fused einsum attention) | "flash" (Pallas flash-decode kernel,
+    # ops/decode_attention.py; TPU-only, falls back to xla elsewhere)
+    attention_impl: str = "xla"
+
     @property
     def q_per_kv(self) -> int:
         return self.num_heads // self.num_kv_heads

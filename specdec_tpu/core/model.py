@@ -83,6 +83,11 @@ def _attention(cfg: ModelConfig, q, k_all, v_all, q_pos, k_len):
     S = k_all.shape[1]
     Hk = cfg.num_kv_heads
     G = cfg.q_per_kv
+    if (cfg.attention_impl == "flash" and cfg.logit_softcap == 0.0
+            and jax.default_backend() == "tpu"):
+        from specdec_tpu.ops.decode_attention import flash_decode_attention
+        out = flash_decode_attention(q, k_all, v_all, q_pos[:, 0], Hk)
+        return out.reshape(B, T, Hq * Dh)
     qg = q.reshape(B, T, Hk, G, Dh)
     scale = 1.0 / jnp.sqrt(Dh).astype(jnp.float32)
     scores = jnp.einsum("bthgd,bshd->bhgts", qg, k_all,

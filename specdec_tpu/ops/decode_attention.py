@@ -1,0 +1,132 @@
+"""Flash-decode attention Pallas kernel for cached decode/verify steps.
+
+The engine's decode steps (T = 1 or gamma+1) attend a small query block
+against the slotted KV cache. The XLA path (core/model.py::_attention)
+materializes masked [B, H, G, T, S] scores; this kernel streams K/V tiles
+through VMEM with an online-softmax accumulator instead — O(T*G x TS) live
+scores, no HBM score traffic — which matters as S grows (long-context
+serving), and masks by per-sequence cache offset exactly like the XLA path
+(key position <= query position).
+
+Grid: (batch, kv_head, S tiles); the S axis is innermost/sequential, carrying
+(m, l, acc) in VMEM scratch. GQA is handled by flattening the G query heads of
+one KV head into the query block's row axis — the MXU sees a [T*G, Dh] x
+[Dh, TS] matmul per tile. Masking is pure iota arithmetic (no gathers):
+query row r corresponds to absolute position offset_b + r // G.
+
+Numerics match the XLA path to f32 tolerance (tests/test_decode_attention.py);
+`logit_softcap` models (gemma2) fall back to the XLA path.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _kernel(off_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+            *, G: int, ts: int, scale: float):
+    s = pl.program_id(2)
+    ns = pl.num_programs(2)
+
+    @pl.when(s == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0, 0]                      # [TGp, Dh]
+    k = k_ref[0, :, 0, :]                # [TS, Dh]
+    v = v_ref[0, :, 0, :]                # [TS, Dh]
+
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale          # [TGp, TS]
+
+    TGp = q.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, (TGp, ts), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (TGp, ts), 1)
+    q_pos = off_ref[0, 0] + row // G
+    k_pos = s * ts + col
+    mask = k_pos <= q_pos
+    scores = jnp.where(mask, scores, _NEG_INF)
+
+    m_prev = m_ref[:]                    # [TGp, 1]
+    m_cur = jnp.max(scores, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(scores - m_new)          # [TGp, TS]
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_ref[:] = m_new
+
+    @pl.when(s == ns - 1)
+    def _():
+        o_ref[0, 0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-38)
+                       ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_kv_heads", "tile_s"))
+def flash_decode_attention(q: jax.Array, k_all: jax.Array, v_all: jax.Array,
+                           offsets: jax.Array, num_kv_heads: int,
+                           tile_s: int = 256) -> jax.Array:
+    """q: [B, T, Hq, Dh]; k_all/v_all: [B, S, Hk, Dh]; offsets: [B] int32
+    (query t of batch b has absolute position offsets[b] + t).
+    Returns [B, T, Hq, Dh] in q.dtype."""
+    B, T, Hq, Dh = q.shape
+    S = k_all.shape[1]
+    Hk = num_kv_heads
+    G = Hq // Hk
+    TG = T * G
+    TGp = max(8, ((TG + 7) // 8) * 8)
+    scale = 1.0 / (Dh ** 0.5)
+
+    # [B, T, Hk, G, Dh] → [B, Hk, T*G, Dh], padded rows
+    qr = q.reshape(B, T, Hk, G, Dh).transpose(0, 2, 1, 3, 4).reshape(
+        B, Hk, TG, Dh)
+    if TGp != TG:
+        qr = jnp.pad(qr, ((0, 0), (0, 0), (0, TGp - TG), (0, 0)))
+
+    Sp = ((S + tile_s - 1) // tile_s) * tile_s
+    if Sp != S:
+        # padded keys are masked out by k_pos <= q_pos (q_pos < S always)
+        k_all = jnp.pad(k_all, ((0, 0), (0, Sp - S), (0, 0), (0, 0)))
+        v_all = jnp.pad(v_all, ((0, 0), (0, Sp - S), (0, 0), (0, 0)))
+
+    grid = (B, Hk, Sp // tile_s)
+    out = pl.pallas_call(
+        functools.partial(_kernel, G=G, ts=tile_s, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda b, h, s: (b, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, TGp, Dh), lambda b, h, s: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_s, 1, Dh), lambda b, h, s: (b, s, h, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_s, 1, Dh), lambda b, h, s: (b, s, h, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, TGp, Dh), lambda b, h, s: (b, h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Hk, TGp, Dh), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((TGp, 1), jnp.float32),
+            pltpu.VMEM((TGp, 1), jnp.float32),
+            pltpu.VMEM((TGp, Dh), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Hk * TGp * Sp * Dh,
+            bytes_accessed=2 * B * Sp * Hk * Dh * 2 + B * Hk * TGp * Dh * 4,
+            transcendentals=B * Hk * TGp * Sp),
+    )(offsets.astype(jnp.int32)[:, None], qr, k_all, v_all)
+
+    out = out[:, :, :TG].reshape(B, Hk, T, G, Dh).transpose(0, 2, 1, 3, 4)
+    return out.reshape(B, T, Hq, Dh)

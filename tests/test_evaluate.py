@@ -1,0 +1,64 @@
+"""Perplexity evaluation tests: hand-checkable reductions, parity vs a torch
+reference computation, and the quantization quality gate (INT8 ppl close to
+dense on the same data)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from specdec_tpu.core.config import tiny_config
+from specdec_tpu.core.model import init_params
+from specdec_tpu.engine.evaluate import perplexity, sequence_logprobs
+from specdec_tpu.quant import quantize_params
+
+VOCAB = 64
+CFG = tiny_config(vocab_size=VOCAB, num_layers=2, hidden_size=48,
+                  intermediate_size=96, num_heads=4, num_kv_heads=2,
+                  head_dim=12)
+PARAMS = init_params(CFG, jax.random.key(0), scale=0.3)
+
+RNG = np.random.default_rng(0)
+SEQS = [RNG.integers(1, VOCAB, size=n).tolist() for n in (9, 14, 5, 20)]
+
+
+def test_perplexity_matches_torch_reference():
+    """Cross-check NLL against the HF-style torch computation on identical
+    logits (computed by our model, consumed by torch's cross_entropy)."""
+    import torch
+    from specdec_tpu.core.model import forward_full
+
+    total_nll, total_n = 0.0, 0
+    for s in SEQS:
+        logits = np.asarray(forward_full(CFG, PARAMS,
+                                         jnp.asarray(s)[None, :]))[0]
+        lp = torch.log_softmax(torch.tensor(logits[:-1]), dim=-1)
+        tgt = torch.tensor(s[1:])
+        nll = torch.nn.functional.nll_loss(lp, tgt, reduction="sum")
+        total_nll += float(nll)
+        total_n += len(s) - 1
+    expected = np.exp(total_nll / total_n)
+    got = perplexity(CFG, PARAMS, SEQS, batch_size=3)
+    np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+
+def test_batching_invariance():
+    p1 = perplexity(CFG, PARAMS, SEQS, batch_size=1)
+    p4 = perplexity(CFG, PARAMS, SEQS, batch_size=4)
+    np.testing.assert_allclose(p1, p4, rtol=1e-5)
+
+
+def test_sequence_logprobs_sign_and_consistency():
+    lps = sequence_logprobs(CFG, PARAMS, SEQS)
+    assert all(lp < 0 for lp in lps)
+    total_tokens = sum(len(s) - 1 for s in SEQS)
+    ppl = perplexity(CFG, PARAMS, SEQS)
+    np.testing.assert_allclose(np.exp(-sum(lps) / total_tokens), ppl, rtol=1e-5)
+
+
+def test_int8_ppl_close_to_dense():
+    """BASELINE quality-gate shape: quantized ppl within a small relative
+    delta of dense (tiny random model → loose bound; the real gate runs on
+    real checkpoints)."""
+    dense = perplexity(CFG, PARAMS, SEQS)
+    q = quantize_params(PARAMS, kind="int8")
+    quant = perplexity(CFG, q, SEQS)
+    assert abs(quant - dense) / dense < 0.05, (dense, quant)
