@@ -99,3 +99,30 @@ def test_pure_tp_8way(models):
         PROMPTS[:2], CFG, d_repl, CFG, t_sharded, gamma=3, gen_len=8,
         eos_tokens_id=(), key=jax.random.key(6))
     assert outs == base
+
+
+def test_multihost_mesh_single_process():
+    """On a single host, build_multihost_mesh degenerates to (1, tp) or
+    (n/tp, tp) with host-major ordering."""
+    from specdec_tpu.parallel.distributed import (
+        build_multihost_mesh, init_distributed,
+    )
+    assert init_distributed() is False  # single-host no-op
+    mesh = build_multihost_mesh(tp=4)
+    assert mesh.shape == {DATA_AXIS: 2, MODEL_AXIS: 4}
+    mesh = build_multihost_mesh()
+    assert mesh.shape[MODEL_AXIS] == jax.local_device_count()
+
+
+def test_phase_timer_and_annotations():
+    from specdec_tpu.utils.profiling import annotate, phase_timer
+    import time as _t
+
+    phases = {}
+    with phase_timer(phases, "draft"):
+        _t.sleep(0.01)
+    with phase_timer(phases, "draft"):
+        _t.sleep(0.01)
+    assert phases["draft"] >= 0.02
+    with annotate("verify"):
+        pass
