@@ -259,3 +259,101 @@ def init_params(cfg: ModelConfig, key: jax.Array, scale: float = 0.02) -> Params
     if not cfg.tie_embeddings:
         params["lm_head"] = w((D, cfg.vocab_size))
     return params
+
+
+# ---------------------------------------------------------------------------
+# Paged-cache forward (serving path; see core/paged_cache.py)
+# ---------------------------------------------------------------------------
+
+def forward_step_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
+                       cache, use_kernel: Optional[bool] = None):
+    """forward_step over a PagedKVCache: identical math to the slotted path
+    (oracle-tested), but K/V live in a page pool addressed through per-seq
+    page tables. Attention uses the Pallas paged kernel on TPU
+    (ops/paged_attention.py) and a gather-based XLA path elsewhere."""
+    from specdec_tpu.core.paged_cache import (
+        PagedKVCache, gather_pages, write_block_paged,
+    )
+
+    B, T = tokens.shape
+    offsets = cache.length
+    q_pos = offsets[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+    cos, sin = rope_cos_sin(q_pos, cfg.rotary_dim, cfg.rope_theta)
+    page_size = cache.page_size
+    if use_kernel is None:
+        use_kernel = jax.default_backend() == "tpu" and cfg.logit_softcap == 0.0
+
+    x = params["embed"][tokens].astype(cfg.dtype)
+
+    def body(carry, scanned):
+        h = carry
+        lp, lk, lv = scanned
+        Hq, Hk, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+        hh = _norm(cfg, h, lp["attn_norm_w"], lp.get("attn_norm_b"))
+        q = _mm(hh, lp["wq"])
+        k = _mm(hh, lp["wk"])
+        v = _mm(hh, lp["wv"])
+        if cfg.attn_qkv_bias:
+            q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
+        q = q.reshape(B, T, Hq, Dh)
+        k = k.reshape(B, T, Hk, Dh)
+        v = v.reshape(B, T, Hk, Dh)
+        if cfg.qk_norm:
+            q = rms_norm(q, lp["q_norm_w"], cfg.norm_eps)
+            k = rms_norm(k, lp["k_norm_w"], cfg.norm_eps)
+        q = apply_rope(q, cos, sin, cfg.rotary_dim)
+        k = apply_rope(k, cos, sin, cfg.rotary_dim)
+
+        lk, lv = write_block_paged(lk, lv, k, v, cache.page_table, offsets,
+                                   page_size)
+        if use_kernel:
+            from specdec_tpu.ops.paged_attention import paged_decode_attention
+            attn = paged_decode_attention(q, lk, lv, cache.page_table,
+                                          offsets, Hk)
+            attn = attn.reshape(B, T, Hq * Dh)
+        else:
+            k_all = gather_pages(lk, cache.page_table)
+            v_all = gather_pages(lv, cache.page_table)
+            attn = _attention(cfg, q, k_all, v_all, q_pos, None)
+        attn = _mm(attn, lp["wo"])
+        if cfg.attn_out_bias:
+            attn = attn + lp["bo"]
+
+        if cfg.parallel_residual:
+            m = _norm(cfg, h, lp["mlp_norm_w"], lp.get("mlp_norm_b"))
+        else:
+            h = h + attn
+            m = _norm(cfg, h, lp["mlp_norm_w"], lp.get("mlp_norm_b"))
+        if cfg.gated_mlp:
+            gate = _mm(m, lp["w_gate"])
+            up = _mm(m, lp["w_up"])
+            if cfg.mlp_bias:
+                gate, up = gate + lp["b_gate"], up + lp["b_up"]
+            mlp = _act(cfg, gate) * up
+        else:
+            up = _mm(m, lp["w_up"])
+            if cfg.mlp_bias:
+                up = up + lp["b_up"]
+            mlp = _act(cfg, up)
+        mlp = _mm(mlp, lp["w_down"])
+        if cfg.mlp_bias:
+            mlp = mlp + lp["b_down"]
+        h = (h + attn + mlp) if cfg.parallel_residual else (h + mlp)
+        return h, (lk, lv)
+
+    x, (new_k, new_v) = lax.scan(body, x, (params["layers"], cache.k, cache.v))
+
+    x = _norm(cfg, x, params["final_norm_w"], params.get("final_norm_b"))
+    if cfg.tie_embeddings:
+        logits = jnp.einsum("btd,vd->btv", x, params["embed"],
+                            preferred_element_type=jnp.float32)
+    else:
+        logits = _mm(x, params["lm_head"]).astype(jnp.float32)
+    if cfg.logit_softcap > 0.0:
+        logits = jnp.tanh(logits / cfg.logit_softcap) * cfg.logit_softcap
+
+    import dataclasses as _dc
+    new_cache = _dc.replace(cache, k=new_k, v=new_v,
+                            length=cache.length + T)
+    return logits, new_cache

@@ -1,0 +1,119 @@
+"""Paged KV cache: fixed page pool + per-sequence page tables.
+
+The slotted cache (core/cache.py) reserves max_seq_len per slot; for serving
+many sequences of varying length that wastes HBM. This is the TPU-native
+equivalent of vLLM's paged KV (SURVEY.md §7.4 names it as the native
+replacement for vLLM's C++/CUDA PagedAttention): K/V live in a global pool of
+fixed-size pages, each sequence owns an ordered page list, and growing a
+sequence allocates pages from a host-side free list. All device shapes stay
+static (pool size, table width); "allocation" only edits the int32 page table.
+
+Writes scatter the (gamma+1)-token block through the page table; attention
+either gathers the sequence's pages into a contiguous view (XLA path, used as
+the reference/oracle) or runs the Pallas paged-attention kernel
+(ops/paged_attention.py) which DMA-s pages directly via scalar-prefetched
+tables. Rollback stays length arithmetic — pages are never freed mid-request,
+so rejected-draft rollback needs no table surgery.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PagedKVCache:
+    """k/v pools: [L, num_pages, page_size, Hk, Dh];
+    page_table: [B, max_pages] int32 (pool page id per logical page; unused
+    entries point at page 0 — harmless, masked by length);
+    length: [B] int32 valid tokens per sequence."""
+
+    k: jax.Array
+    v: jax.Array
+    page_table: jax.Array
+    length: jax.Array
+
+    @property
+    def page_size(self) -> int:
+        return self.k.shape[2]
+
+    @property
+    def max_pages(self) -> int:
+        return self.page_table.shape[1]
+
+    def with_length(self, length: jax.Array) -> "PagedKVCache":
+        return dataclasses.replace(self, length=length)
+
+    def rolled_back(self, n: jax.Array) -> "PagedKVCache":
+        return self.with_length(jnp.maximum(self.length - n, 0))
+
+
+class PageAllocator:
+    """Host-side free list over the pool. The device never sees it — only the
+    int32 tables it produces."""
+
+    def __init__(self, num_pages: int):
+        self.num_pages = num_pages
+        self.free: List[int] = list(range(num_pages - 1, -1, -1))
+        self.owned: dict = {}
+
+    def alloc(self, owner, n: int) -> List[int]:
+        if n > len(self.free):
+            raise MemoryError(
+                f"page pool exhausted: need {n}, free {len(self.free)}")
+        pages = [self.free.pop() for _ in range(n)]
+        self.owned.setdefault(owner, []).extend(pages)
+        return pages
+
+    def free_owner(self, owner):
+        for p in self.owned.pop(owner, []):
+            self.free.append(p)
+
+
+def init_paged_cache(cfg, batch_size: int, num_pages: int, page_size: int,
+                     max_pages_per_seq: int, dtype=None) -> PagedKVCache:
+    dtype = dtype or cfg.dtype
+    shape = (cfg.num_layers, num_pages, page_size, cfg.num_kv_heads,
+             cfg.head_dim)
+    return PagedKVCache(
+        k=jnp.zeros(shape, dtype=dtype),
+        v=jnp.zeros(shape, dtype=dtype),
+        page_table=jnp.zeros((batch_size, max_pages_per_seq), jnp.int32),
+        length=jnp.zeros((batch_size,), jnp.int32),
+    )
+
+
+def write_block_paged(layer_k: jax.Array, layer_v: jax.Array,
+                      new_k: jax.Array, new_v: jax.Array,
+                      page_table: jax.Array, offsets: jax.Array,
+                      page_size: int) -> Tuple[jax.Array, jax.Array]:
+    """Scatter a [B, T, Hk, Dh] block into one layer's page pool at
+    per-sequence offsets. T is small (1 or gamma+1): one scatter per block
+    position, vectorized over the batch."""
+    B, T = new_k.shape[0], new_k.shape[1]
+    for t in range(T):
+        pos = offsets + t
+        page = jnp.take_along_axis(page_table, (pos // page_size)[:, None],
+                                   axis=1)[:, 0]            # [B]
+        slot = pos % page_size
+        layer_k = layer_k.at[page, slot].set(new_k[:, t])
+        layer_v = layer_v.at[page, slot].set(new_v[:, t])
+    return layer_k, layer_v
+
+
+def gather_pages(layer_kv: jax.Array, page_table: jax.Array) -> jax.Array:
+    """[num_pages, page, Hk, Dh] + [B, max_pages] → contiguous
+    [B, max_pages*page, Hk, Dh] view (XLA reference path / kernel oracle)."""
+    B, MP = page_table.shape
+    gathered = layer_kv[page_table]            # [B, MP, page, Hk, Dh]
+    ps = layer_kv.shape[1]
+    return gathered.reshape(B, MP * ps, *layer_kv.shape[2:])
+
+
+def required_pages(length: int, page_size: int) -> int:
+    return (length + page_size - 1) // page_size

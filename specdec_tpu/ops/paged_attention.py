@@ -1,0 +1,120 @@
+"""Paged attention Pallas kernel: flash-decode over page-table-indirected KV.
+
+The TPU-native equivalent of vLLM's PagedAttention CUDA kernel (SURVEY.md
+§7.4). Identical math to ops/decode_attention.py (online softmax, GQA folded
+into the MXU row axis, key-position <= query-position masking), but K/V tiles
+are fetched straight from the page *pool*: the per-sequence page table is a
+scalar-prefetch operand, so each grid step's BlockSpec index map picks the
+physical page to DMA — no gather materialization of the sequence's KV in HBM.
+
+Tile size = page size (pages are the natural DMA unit). Logical pages past a
+sequence's length fetch pool page table[b, p] (whatever it is) and are fully
+masked out by position arithmetic.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _kernel(tbl_ref, off_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref,
+            acc_ref, *, G: int, page: int, scale: float):
+    b = pl.program_id(0)
+    p = pl.program_id(2)
+    np_ = pl.num_programs(2)
+
+    @pl.when(p == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0, 0]                      # [TGp, Dh]
+    k = k_ref[0, :, 0, :]                # [page, Dh]
+    v = v_ref[0, :, 0, :]
+
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale          # [TGp, page]
+
+    TGp = q.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, (TGp, page), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (TGp, page), 1)
+    q_pos = off_ref[b] + row // G
+    k_pos = p * page + col
+    scores = jnp.where(k_pos <= q_pos, scores, _NEG_INF)
+
+    m_prev = m_ref[:]
+    m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    pr = jnp.exp(scores - m_new)
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(pr, axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        pr.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_ref[:] = m_new
+
+    @pl.when(p == np_ - 1)
+    def _():
+        o_ref[0, 0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-38)
+                       ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_kv_heads",))
+def paged_decode_attention(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
+                           page_table: jax.Array, offsets: jax.Array,
+                           num_kv_heads: int) -> jax.Array:
+    """q: [B, T, Hq, Dh]; pools: [num_pages, page, Hk, Dh];
+    page_table: [B, MP] int32; offsets: [B]. Returns [B, T, Hq, Dh]."""
+    B, T, Hq, Dh = q.shape
+    page = k_pool.shape[1]
+    Hk = num_kv_heads
+    G = Hq // Hk
+    TG = T * G
+    TGp = max(8, ((TG + 7) // 8) * 8)
+    MP = page_table.shape[1]
+    scale = 1.0 / (Dh ** 0.5)
+
+    qr = q.reshape(B, T, Hk, G, Dh).transpose(0, 2, 1, 3, 4).reshape(
+        B, Hk, TG, Dh)
+    if TGp != TG:
+        qr = jnp.pad(qr, ((0, 0), (0, 0), (0, TGp - TG), (0, 0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, Hk, MP),
+        in_specs=[
+            pl.BlockSpec((1, 1, TGp, Dh),
+                         lambda b, h, p, tbl, off: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, page, 1, Dh),
+                         lambda b, h, p, tbl, off: (tbl[b, p], 0, h, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, page, 1, Dh),
+                         lambda b, h, p, tbl, off: (tbl[b, p], 0, h, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, TGp, Dh),
+                               lambda b, h, p, tbl, off: (b, h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((TGp, 1), jnp.float32),
+            pltpu.VMEM((TGp, 1), jnp.float32),
+            pltpu.VMEM((TGp, Dh), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, G=G, page=page, scale=scale),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hk, TGp, Dh), q.dtype),
+    )(page_table.astype(jnp.int32), offsets.astype(jnp.int32),
+      qr, k_pool, v_pool)
+
+    out = out[:, :, :TG].reshape(B, Hk, T, G, Dh).transpose(0, 2, 1, 3, 4)
+    return out.reshape(B, T, Hq, Dh)

@@ -1,0 +1,130 @@
+"""Paged KV cache tests: paged forward must be logit-identical to the slotted
+path across prefill/decode/rollback with non-trivial page layouts; the Pallas
+paged kernel must match the gather oracle; the allocator enforces capacity."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from specdec_tpu.core.cache import init_cache
+from specdec_tpu.core.config import tiny_config
+from specdec_tpu.core.model import forward_step, forward_step_paged, init_params
+from specdec_tpu.core.paged_cache import (
+    PageAllocator, gather_pages, init_paged_cache, required_pages,
+    write_block_paged,
+)
+from specdec_tpu.ops.paged_attention import paged_decode_attention
+
+CFG = tiny_config(vocab_size=64, num_layers=2, hidden_size=64,
+                  intermediate_size=128, num_heads=8, num_kv_heads=4,
+                  head_dim=8)
+PARAMS = init_params(CFG, jax.random.key(0), scale=0.3)
+RNG = np.random.default_rng(0)
+
+PAGE = 16
+MAXP = 6
+
+
+def _scrambled_cache(B):
+    """Paged cache whose page tables are deliberately non-identity so a
+    correct result requires real indirection."""
+    cache = init_paged_cache(CFG, B, num_pages=B * MAXP + 3, page_size=PAGE,
+                             max_pages_per_seq=MAXP, dtype=jnp.float32)
+    alloc = PageAllocator(B * MAXP + 3)
+    alloc.alloc("skew", 3)  # skew so tables don't start at 0
+    tables = np.zeros((B, MAXP), np.int32)
+    for b in range(B):
+        tables[b] = alloc.alloc(b, MAXP)
+    rng = np.random.default_rng(7)
+    for b in range(B):
+        rng.shuffle(tables[b])
+    import dataclasses
+    return dataclasses.replace(cache, page_table=jnp.asarray(tables))
+
+
+def test_paged_forward_matches_slotted():
+    B = 2
+    prompts = jnp.asarray(RNG.integers(0, 64, size=(B, 20)).astype(np.int32))
+    lens = jnp.asarray([20, 13], jnp.int32)
+
+    slot = init_cache(CFG, B, MAXP * PAGE, dtype=jnp.float32)
+    ref_logits, slot = forward_step(CFG, PARAMS, prompts, slot)
+    slot = slot.with_length(lens)
+
+    paged = _scrambled_cache(B)
+    got_logits, paged = forward_step_paged(CFG, PARAMS, prompts, paged,
+                                           use_kernel=False)
+    paged = paged.with_length(lens)
+    np.testing.assert_allclose(np.asarray(got_logits), np.asarray(ref_logits),
+                               rtol=1e-4, atol=1e-4)
+
+    # decode steps (T=1 then gamma-style T=3), cross-page boundaries
+    for T in (1, 3, 1, 3, 3):
+        toks = jnp.asarray(RNG.integers(0, 64, size=(B, T)).astype(np.int32))
+        ref_l, slot = forward_step(CFG, PARAMS, toks, slot)
+        got_l, paged = forward_step_paged(CFG, PARAMS, toks, paged,
+                                          use_kernel=False)
+        np.testing.assert_allclose(np.asarray(got_l), np.asarray(ref_l),
+                                   rtol=1e-4, atol=1e-4)
+
+    # rollback then replay must agree too
+    slot2 = slot.rolled_back(jnp.asarray([2, 2], jnp.int32))
+    paged2 = paged.rolled_back(jnp.asarray([2, 2], jnp.int32))
+    toks = jnp.asarray(RNG.integers(0, 64, size=(B, 2)).astype(np.int32))
+    ref_l, _ = forward_step(CFG, PARAMS, toks, slot2)
+    got_l, _ = forward_step_paged(CFG, PARAMS, toks, paged2, use_kernel=False)
+    np.testing.assert_allclose(np.asarray(got_l), np.asarray(ref_l),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_paged_kernel_matches_gather_oracle():
+    B, T, Hq, Hk, Dh = 2, 3, 8, 4, 16
+    NP, MP = 11, 4
+    pool_k = jnp.asarray(RNG.normal(size=(NP, PAGE, Hk, Dh)).astype(np.float32))
+    pool_v = jnp.asarray(RNG.normal(size=(NP, PAGE, Hk, Dh)).astype(np.float32))
+    table = jnp.asarray(RNG.permutation(NP)[:B * MP].reshape(B, MP).astype(np.int32))
+    q = jnp.asarray(RNG.normal(size=(B, T, Hq, Dh)).astype(np.float32))
+    offsets = jnp.asarray([29, 50], jnp.int32)
+
+    from specdec_tpu.core.model import _attention
+    cfg = tiny_config(num_heads=Hq, num_kv_heads=Hk, head_dim=Dh,
+                      hidden_size=Hq * Dh, intermediate_size=Hq * Dh)
+    k_all = gather_pages(pool_k, table)
+    v_all = gather_pages(pool_v, table)
+    q_pos = offsets[:, None] + jnp.arange(T)[None, :]
+    ref = _attention(cfg, q, k_all, v_all, q_pos, None)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = paged_decode_attention(q, pool_k, pool_v, table, offsets, Hk)
+    np.testing.assert_allclose(np.asarray(got.reshape(B, T, Hq * Dh)),
+                               np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_write_block_crosses_page_boundary():
+    Hk, Dh = 2, 4
+    pool = jnp.zeros((5, PAGE, Hk, Dh), jnp.float32)
+    table = jnp.asarray([[3, 1, 4]], jnp.int32)
+    blk = jnp.ones((1, 4, Hk, Dh)) * jnp.arange(1, 5)[None, :, None, None]
+    # offset 14: tokens land at page0[14], page0[15], page1[0], page1[1]
+    k2, _ = write_block_paged(pool, pool, blk, blk, table,
+                              jnp.asarray([14], jnp.int32), PAGE)
+    assert float(k2[3, 14, 0, 0]) == 1.0
+    assert float(k2[3, 15, 0, 0]) == 2.0
+    assert float(k2[1, 0, 0, 0]) == 3.0
+    assert float(k2[1, 1, 0, 0]) == 4.0
+
+
+def test_allocator():
+    a = PageAllocator(4)
+    p1 = a.alloc("r1", 2)
+    p2 = a.alloc("r2", 2)
+    assert len(set(p1) | set(p2)) == 4
+    with pytest.raises(MemoryError):
+        a.alloc("r3", 1)
+    a.free_owner("r1")
+    assert len(a.alloc("r3", 2)) == 2
+    assert required_pages(0, 16) == 0
+    assert required_pages(1, 16) == 1
+    assert required_pages(16, 16) == 1
+    assert required_pages(17, 16) == 2
