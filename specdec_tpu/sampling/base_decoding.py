@@ -81,8 +81,12 @@ def autoregressive_generate(
     prompt, n = pad_to_bucket(inputs, pad_token_id)
     buf, n_gen = _ar_generate(cfg, params, prompt, jnp.int32(n), int(max_gen_len),
                               processor, eos_ids, key)
+    # ONE host transfer: per-element indexing of a device array costs a full
+    # host<->device round trip per token
+    import numpy as np
+    buf = np.asarray(buf)
     n_gen = int(n_gen)
-    return [int(t) for t in buf[n:n + n_gen]]
+    return buf[n:n + n_gen].tolist()
 
 
 # ---------------------------------------------------------------------------
@@ -252,5 +256,7 @@ def beam_search_generate(
                              int(max_gen_len), int(num_beams), int(top_k),
                              float(alpha), float(min_length), eos_ids,
                              int(pad_token_id))
+    import numpy as np
+    buf = np.asarray(buf)
     last = int(last)
-    return [int(t) for t in buf[n:last + 1]]
+    return buf[n:last + 1].tolist()

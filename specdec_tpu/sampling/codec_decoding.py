@@ -103,7 +103,8 @@ def autoregressive_generate_encoder_decoder(
     cache_len = gen_budget + 8
     buf, pos = _codec_ar(cfg, params, prompt, jnp.int32(n), gen_budget,
                          processor, eos_ids, cache_len, key)
-    return [int(t) for t in buf[:int(pos)]]
+    import numpy as np
+    return np.asarray(buf)[:int(pos)].tolist()
 
 
 @partial(jax.jit, static_argnames=(
@@ -258,4 +259,5 @@ def speculative_generate_encoder_decoder(
         jnp.int32(n), int(gamma), gen_budget, processor, eos_ids,
         bool(first_target), bool(skip_sample_adjustment), cache_len, key)
     rate = int(accepted) / int(speculated) if int(speculated) > 0 else 0.0
-    return [int(t) for t in buf[:int(pos)]], rate
+    import numpy as np
+    return np.asarray(buf)[:int(pos)].tolist(), rate

@@ -217,12 +217,14 @@ def speculative_generate(
         prompt, jnp.int32(n), int(gamma), int(max_gen_len),
         processor, eos_ids, bool(first_target), bool(skip_sample_adjustment), key)
 
+    import numpy as np
+    buf = np.asarray(buf)  # one host transfer (per-element reads round-trip)
     n_gen = int(n_gen)
     accepted = int(accepted)
     speculated = int(speculated)
     rate = accepted / speculated if speculated > 0 else 0.0
     if debug:
-        log = [int(a) for a in accept_log if int(a) >= 0]
+        log = [int(a) for a in np.asarray(accept_log) if int(a) >= 0]
         print(f"[specdec] windows={len(log)} accepts/window={log} "
               f"acceptance={rate:.3f}")
-    return [int(t) for t in buf[n:n + n_gen]], rate
+    return buf[n:n + n_gen].tolist(), rate
