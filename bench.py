@@ -8,6 +8,12 @@ a real self-speculative configuration (LayerSkip-style) that produces a
 meaningful acceptance rate with random weights, so the measured speedup is an
 honest end-to-end number for the engine, not a rigged 100%-acceptance ceiling.
 
+Measurement notes for this environment (see .claude/skills/verify/SKILL.md):
+only numpy materialization is a reliable timing barrier (the generate wrappers
+materialize), first-compile of a program shape is slow on the remote-compile
+service but cached across processes, and the persistent jax compilation cache
+must stay OFF.
+
 Prints exactly ONE JSON line to stdout:
   {"metric": "spec_decode_tokens_per_sec", "value": N, "unit": "tokens/s",
    "vs_baseline": speedup_over_AR}
@@ -19,10 +25,6 @@ import time
 
 import jax
 import jax.numpy as jnp
-
-# NOTE: do NOT enable the persistent compilation cache here — on this
-# environment's tunneled TPU backend, executing a cache-deserialized program
-# hangs (verified empirically: fresh compiles run fine, cache hits wedge).
 
 
 def log(*a):
@@ -52,42 +54,52 @@ def main():
     drafter = dict(target)
     drafter["layers"] = jax.tree.map(lambda x: x[:DRAFT_LAYERS],
                                      target["layers"])
-    jax.block_until_ready(target["embed"])
+    import numpy as np
+    _ = np.asarray(target["embed"][0, :1])  # real barrier
     log(f"params built in {time.time() - t0:.1f}s "
         f"(target 22L/2048d ~1.1B bf16, layer-skip drafter {DRAFT_LAYERS}L)")
 
-    import numpy as np
     rng = np.random.default_rng(0)
-    prompt = [int(t) for t in rng.integers(1, V, size=120)]
-    GEN = 200
+    prompt = [int(t) for t in rng.integers(1, V, size=60)]  # bucket 64
+    GEN = 48
     GAMMA = 5
+    REPS = 5
 
     # --- AR baseline -------------------------------------------------------
     t0 = time.time()
     ar = autoregressive_generate(prompt, t_cfg, target, max_gen_len=GEN,
                                  eos_tokens_id=(), key=jax.random.key(1))
     log(f"AR compile+run: {time.time() - t0:.1f}s")
-    t0 = time.time()
-    ar = autoregressive_generate(prompt, t_cfg, target, max_gen_len=GEN,
-                                 eos_tokens_id=(), key=jax.random.key(2))
-    ar_time = time.time() - t0
+    ar_times = []
+    for i in range(REPS):
+        t0 = time.time()
+        ar = autoregressive_generate(prompt, t_cfg, target, max_gen_len=GEN,
+                                     eos_tokens_id=(), key=jax.random.key(2 + i))
+        ar_times.append(time.time() - t0)
+    ar_time = min(ar_times)
     ar_tps = len(ar) / ar_time
-    log(f"AR: {len(ar)} tokens in {ar_time:.2f}s = {ar_tps:.1f} tok/s")
+    log(f"AR: {len(ar)} tokens, best of {REPS}: {ar_time:.2f}s = "
+        f"{ar_tps:.1f} tok/s ({ar_time / len(ar) * 1000:.1f} ms/tok)")
 
     # --- speculative -------------------------------------------------------
     t0 = time.time()
     spec, rate = speculative_generate(
         prompt, d_cfg, drafter, t_cfg, target, gamma=GAMMA, max_gen_len=GEN,
-        eos_tokens_id=(), key=jax.random.key(3))
+        eos_tokens_id=(), key=jax.random.key(100))
     log(f"SPEC compile+run: {time.time() - t0:.1f}s")
-    t0 = time.time()
-    spec, rate = speculative_generate(
-        prompt, d_cfg, drafter, t_cfg, target, gamma=GAMMA, max_gen_len=GEN,
-        eos_tokens_id=(), key=jax.random.key(4))
-    spec_time = time.time() - t0
+    spec_times, rates = [], []
+    for i in range(REPS):
+        t0 = time.time()
+        spec, rate = speculative_generate(
+            prompt, d_cfg, drafter, t_cfg, target, gamma=GAMMA,
+            max_gen_len=GEN, eos_tokens_id=(), key=jax.random.key(101 + i))
+        spec_times.append(time.time() - t0)
+        rates.append(rate)
+    spec_time = min(spec_times)
     spec_tps = len(spec) / spec_time
-    log(f"SPEC(gamma={GAMMA}): {len(spec)} tokens in {spec_time:.2f}s = "
-        f"{spec_tps:.1f} tok/s, acceptance={rate:.3f}")
+    acc = sum(rates) / len(rates)
+    log(f"SPEC(gamma={GAMMA}): {len(spec)} tokens, best of {REPS}: "
+        f"{spec_time:.2f}s = {spec_tps:.1f} tok/s, acceptance={acc:.3f}")
 
     speedup = spec_tps / ar_tps if ar_tps > 0 else 0.0
     log(f"speedup vs AR: {speedup:.2f}x")

@@ -37,7 +37,17 @@ from jax import lax
 
 from specdec_tpu.core.cache import KVCache, init_cache
 from specdec_tpu.core.config import ModelConfig
-from specdec_tpu.core.model import forward_step
+from specdec_tpu.core.model import forward_step as _slotted_forward_step
+from specdec_tpu.core.model import forward_step_paged
+
+
+def forward_step(cfg, params, tokens, cache):
+    """Dispatch on cache type: slotted KVCache or PagedKVCache (the window
+    step below is cache-agnostic; the continuous batcher picks the mode)."""
+    from specdec_tpu.core.paged_cache import PagedKVCache
+    if isinstance(cache, PagedKVCache):
+        return forward_step_paged(cfg, params, tokens, cache)
+    return _slotted_forward_step(cfg, params, tokens, cache)
 from specdec_tpu.sampling.processors import GreedyProcessor, LogitsProcessor
 from specdec_tpu.sampling.utils import max_fn, normalize_eos
 

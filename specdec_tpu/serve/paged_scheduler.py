@@ -1,0 +1,236 @@
+"""Continuous batching over the paged KV cache.
+
+Extends serve.scheduler.ContinuousBatcher with vLLM-style memory management
+(SURVEY.md §7.4): instead of reserving max_seq_len per slot, K/V pages come
+from a shared pool sized in tokens, sequences allocate pages incrementally as
+they grow (host free-list; the device only ever sees int32 page tables), and a
+finished request's pages return to the pool at harvest. The speculative
+window step itself is unchanged — engine.batch_engine dispatches on the cache
+type — and attention runs the Pallas paged kernel on TPU.
+
+Admission is refused (queued) when the pool can't cover the request's prompt
+plus one gamma window; each drive step tops up active slots so the next
+window's gamma+1 tokens always have backing pages.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from specdec_tpu.core.config import ModelConfig
+from specdec_tpu.core.model import forward_step_paged
+from specdec_tpu.core.paged_cache import (
+    PagedKVCache, PageAllocator, required_pages,
+)
+from specdec_tpu.engine.batch_engine import BatchState
+from specdec_tpu.sampling.processors import LogitsProcessor
+from specdec_tpu.serve.scheduler import ContinuousBatcher, Request
+
+
+@partial(jax.jit, static_argnames=(
+    "drafter_cfg", "target_cfg", "processor", "eos_ids", "slot"),
+         donate_argnames=("state",))
+def _admit_slot_paged(drafter_cfg: ModelConfig, drafter_params,
+                      target_cfg: ModelConfig, target_params,
+                      state: BatchState, slot: int,
+                      prompt: jax.Array, prompt_len: jax.Array,
+                      max_new: jax.Array,
+                      t_row: jax.Array, d_row: jax.Array,
+                      processor: LogitsProcessor, eos_ids: Tuple[int, ...],
+                      key: jax.Array) -> BatchState:
+    """Install a request in ``slot``: write its page-table rows, prefill both
+    models through the shared pools (pages are disjoint, so other slots'
+    data is untouched), commit the first target token."""
+    S = state.buf.shape[1]
+
+    def put_row(arr, val):
+        return lax.dynamic_update_index_in_dim(arr, val, slot, axis=0)
+
+    t_cache = dataclasses.replace(
+        state.t_cache, page_table=put_row(state.t_cache.page_table, t_row))
+    d_cache = dataclasses.replace(
+        state.d_cache, page_table=put_row(state.d_cache.page_table, d_row))
+
+    # batch-of-one views sharing the pools
+    t_view = PagedKVCache(k=t_cache.k, v=t_cache.v,
+                          page_table=t_row[None, :],
+                          length=jnp.zeros((1,), jnp.int32))
+    t_logits, t_view = forward_step_paged(target_cfg, target_params,
+                                          prompt[None, :], t_view)
+    d_view = PagedKVCache(k=d_cache.k, v=d_cache.v,
+                          page_table=d_row[None, :],
+                          length=jnp.zeros((1,), jnp.int32))
+    _, d_view = forward_step_paged(drafter_cfg, drafter_params,
+                                   prompt[None, :], d_view)
+
+    last = jnp.take_along_axis(t_logits, (prompt_len - 1)[None, None, None],
+                               axis=1)[0, 0]
+    p0 = processor(last)
+    tok0 = processor.sample(p0, key).astype(jnp.int32)
+
+    row = jnp.zeros((S,), jnp.int32)
+    row = lax.dynamic_update_slice(row, prompt, (0,))
+    row = lax.dynamic_update_index_in_dim(row, tok0, prompt_len, axis=0)
+
+    max_pos = min(target_cfg.max_position_embeddings,
+                  drafter_cfg.max_position_embeddings)
+    total = jnp.minimum(max_pos, prompt_len + max_new)
+    pos = prompt_len + 1
+    eos0 = jnp.zeros((), bool)
+    if eos_ids:
+        eos0 = jnp.any(tok0 == jnp.asarray(eos_ids, jnp.int32))
+    finished = eos0 | (pos >= total)
+    cache_len = pos - 1
+
+    return dataclasses.replace(
+        state,
+        buf=put_row(state.buf, row),
+        pos=put_row(state.pos, pos),
+        prompt_len=put_row(state.prompt_len, prompt_len),
+        total_len=put_row(state.total_len, total),
+        finished=put_row(state.finished, finished),
+        t_cache=dataclasses.replace(
+            t_cache, k=t_view.k, v=t_view.v,
+            length=put_row(t_cache.length, cache_len)),
+        d_cache=dataclasses.replace(
+            d_cache, k=d_view.k, v=d_view.v,
+            length=put_row(d_cache.length, cache_len)),
+        accepted=put_row(state.accepted, jnp.int32(0)),
+        speculated=put_row(state.speculated, jnp.int32(0)),
+    )
+
+
+class PagedContinuousBatcher(ContinuousBatcher):
+    def __init__(self, drafter_cfg: ModelConfig, drafter_params,
+                 target_cfg: ModelConfig, target_params,
+                 num_slots: int = 4, gamma: int = 4,
+                 max_prompt_len: int = 256, max_new_tokens: int = 128,
+                 page_size: int = 64, pool_tokens: Optional[int] = None,
+                 **kw):
+        super().__init__(drafter_cfg, drafter_params, target_cfg,
+                         target_params, num_slots=num_slots, gamma=gamma,
+                         max_prompt_len=max_prompt_len,
+                         max_new_tokens=max_new_tokens, **kw)
+        self.page_size = page_size
+        # default pool: half of what per-slot reservation would need — the
+        # memory win comes from sequences not all being max-length at once
+        pool_tokens = pool_tokens or (num_slots * self.S + self.S) // 2
+        self.num_pages = max(required_pages(pool_tokens, page_size),
+                             2 * (self.S // page_size + 2))
+        self.max_pages_per_seq = self.S // page_size + 2
+
+        from specdec_tpu.core.paged_cache import init_paged_cache
+        self.state = dataclasses.replace(
+            self.state,
+            d_cache=init_paged_cache(drafter_cfg, num_slots, self.num_pages,
+                                     page_size, self.max_pages_per_seq),
+            t_cache=init_paged_cache(target_cfg, num_slots, self.num_pages,
+                                     page_size, self.max_pages_per_seq),
+        )
+        # separate pools per model (page ids are per-pool)
+        self._alloc_t = PageAllocator(self.num_pages)
+        self._alloc_d = PageAllocator(self.num_pages)
+        # page 0 is the garbage page: inactive/finished slots' page tables
+        # point at it (their masked writes must not corrupt real pages)
+        self._alloc_t.alloc("_garbage", 1)
+        self._alloc_d.alloc("_garbage", 1)
+        self._slot_pages_t: List[List[int]] = [[] for _ in range(num_slots)]
+        self._slot_pages_d: List[List[int]] = [[] for _ in range(num_slots)]
+        self._tables_dirty = False
+
+    # ------------------------------------------------------------ page mgmt
+    def _needed_now(self, length: int) -> int:
+        """Pages needed to cover `length` tokens plus one gamma window."""
+        return required_pages(length + self.gamma + 2, self.page_size)
+
+    def _table_row(self, pages: List[int]) -> jax.Array:
+        row = np.zeros((self.max_pages_per_seq,), np.int32)
+        row[:len(pages)] = pages
+        return jnp.asarray(row)
+
+    def _top_up(self):
+        """Ensure every active slot has pages for the next window; push the
+        updated tables to the device state."""
+        changed = self._tables_dirty
+        self._tables_dirty = False
+        pos = np.asarray(self.state.pos)
+        for slot in range(self.B):
+            req = self.slot_req[slot]
+            if req is None:
+                continue
+            need = self._needed_now(int(pos[slot]))
+            for alloc, pages, tag in (
+                    (self._alloc_t, self._slot_pages_t[slot], "t"),
+                    (self._alloc_d, self._slot_pages_d[slot], "d")):
+                if len(pages) < need:
+                    pages.extend(alloc.alloc((tag, slot, req.request_id),
+                                             need - len(pages)))
+                    changed = True
+        if changed:
+            t_tbl = jnp.stack([self._table_row(p) for p in self._slot_pages_t])
+            d_tbl = jnp.stack([self._table_row(p) for p in self._slot_pages_d])
+            self.state = dataclasses.replace(
+                self.state,
+                t_cache=dataclasses.replace(self.state.t_cache,
+                                            page_table=t_tbl),
+                d_cache=dataclasses.replace(self.state.d_cache,
+                                            page_table=d_tbl))
+
+    # ------------------------------------------------------------ overrides
+    def _can_admit(self, req: Request) -> bool:
+        need = self._needed_now(min(len(req.prompt_ids), self.max_prompt_len)
+                                + 1)
+        return (len(self._alloc_t.free) >= need and
+                len(self._alloc_d.free) >= need)
+
+    def _admit(self, slot: int, req: Request):
+        import time as _time
+
+        P = self.max_prompt_len
+        n = min(len(req.prompt_ids), P)
+        need = self._needed_now(n + 1)
+        self._slot_pages_t[slot] = self._alloc_t.alloc(("t", slot, req.request_id), need)
+        self._slot_pages_d[slot] = self._alloc_d.alloc(("d", slot, req.request_id), need)
+
+        prompt = np.zeros((P,), np.int32)
+        prompt[:n] = req.prompt_ids[:n]
+        self.state = _admit_slot_paged(
+            self.drafter_cfg, self.drafter_params, self.target_cfg,
+            self.target_params, self.state, slot, jnp.asarray(prompt),
+            jnp.int32(n), jnp.int32(req.max_new_tokens),
+            self._table_row(self._slot_pages_t[slot]),
+            self._table_row(self._slot_pages_d[slot]),
+            self.processor, self.eos_ids, self._next_key())
+        self.slot_req[slot] = req
+        self._slot_first_token[slot] = None
+        from specdec_tpu.engine.metrics import RequestMetrics
+        req.metrics = RequestMetrics(prompt_tokens=n,
+                                     start_time=req.submit_time)
+
+    def _harvest(self, slot: int, buf, pos, plen, accepted, speculated):
+        req = self.slot_req[slot]
+        super()._harvest(slot, buf, pos, plen, accepted, speculated)
+        if req is not None:
+            self._alloc_t.free_owner(("t", slot, req.request_id))
+            self._alloc_d.free_owner(("d", slot, req.request_id))
+            self._slot_pages_t[slot] = []
+            self._slot_pages_d[slot] = []
+            # stale table rows must stop pointing at recycled pages before
+            # the next window runs
+            self._tables_dirty = True
+
+    def step(self):
+        for slot in range(self.B):
+            if self.slot_req[slot] is None and self.queue:
+                if self._can_admit(self.queue[0]):
+                    self._admit(slot, self.queue.pop(0))
+        if all(r is None for r in self.slot_req):
+            return False
+        self._top_up()
+        return super()._window_and_harvest()

@@ -221,7 +221,9 @@ class ContinuousBatcher:
                 self._admit(slot, self.queue.pop(0))
         if all(r is None for r in self.slot_req):
             return False
+        return self._window_and_harvest()
 
+    def _window_and_harvest(self):
         self.state = batch_spec_window(
             self.drafter_cfg, self.drafter_params, self.target_cfg,
             self.target_params, self.state, self.gamma, self.processor,
