@@ -120,7 +120,7 @@ def test_nf4_quantized_spec_decode_runs():
     qparams = quantize_params(params, kind="nf4")
     assert isinstance(qparams["layers"]["w_up"], NF4Weight)
     out, rate = speculative_generate(
-        [3, 5, 9, 11], CFG, params, CFG, qparams, gamma=3, max_gen_len=10,
+        [3, 5, 9, 11], CFG, params, CFG, qparams, gamma=2, max_gen_len=6,
         eos_tokens_id=(), key=jax.random.key(2))
-    assert len(out) == 10
+    assert len(out) == 6
     assert 0.0 <= rate <= 1.0
