@@ -250,9 +250,9 @@ def batch_ar_step(target_cfg: ModelConfig, target_params, state: BatchState,
     last = _gather_last(state.buf, state.pos)
     logits, t_cache = forward_step(target_cfg, target_params, last[:, None],
                                    state.t_cache)
-    probs = processor(logits[:, 0])
     keys = jax.random.split(key, B)
-    tok = jax.vmap(lambda pi, ki: processor.sample(pi, ki))(probs, keys)
+    tok = jax.vmap(lambda li, ki: processor.sample_from_logits(li, ki))(
+        logits[:, 0], keys)
     tok = tok.astype(jnp.int32)
 
     advance = jnp.where(state.finished | (state.pos >= state.total_len), 0, 1)

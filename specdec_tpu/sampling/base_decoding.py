@@ -47,8 +47,8 @@ def _ar_generate(cfg: ModelConfig, params, prompt: jax.Array, prompt_len: jax.Ar
 
     def body(state):
         buf, cache, pos, last_logits, finished, step = state
-        probs = processor(last_logits)
-        tok = processor.sample(probs, jax.random.fold_in(key, step))
+        tok = processor.sample_from_logits(last_logits,
+                                           jax.random.fold_in(key, step))
         tok = tok.astype(jnp.int32)
         buf = lax.dynamic_update_index_in_dim(buf, tok, pos, axis=0)
         finished = eos_mask(tok, eos_ids)

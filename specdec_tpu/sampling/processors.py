@@ -131,3 +131,34 @@ def build_processor(name: str, temperature: float = 1.0, top_k: int = 10,
     if key not in _REGISTRY:
         raise ValueError(f"unknown processor {name!r}; choose from {sorted(_REGISTRY)}")
     return _REGISTRY[key](temperature, top_k, top_p)
+
+
+# ---------------------------------------------------------------------------
+# logits-space fast paths (used by AR loops where only the SAMPLE is needed;
+# the speculative accept/reject path still consumes processed distributions)
+# ---------------------------------------------------------------------------
+
+def _sample_from_logits_default(self, logits, key):
+    return self.sample(self(logits), key)
+
+
+def _sample_from_logits_greedy(self, logits, key=None):
+    # argmax is invariant under softmax/temperature
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+def _sample_from_logits_multinomial(self, logits, key):
+    # categorical consumes logits directly; temperature folds into a scale
+    return jax.random.categorical(
+        key, logits.astype(jnp.float32) / self.temperature, axis=-1
+    ).astype(jnp.int32)
+
+
+LogitsProcessor.sample_from_logits = _sample_from_logits_default
+GreedyProcessor.sample_from_logits = _sample_from_logits_greedy
+MultinomialProcessor.sample_from_logits = _sample_from_logits_multinomial
+# TopK/Nucleus/TopKNucleus inherit from MultinomialProcessor but must filter
+# first — restore the default (filter -> softmax -> categorical) for them
+TopKProcessor.sample_from_logits = _sample_from_logits_default
+NucleusProcessor.sample_from_logits = _sample_from_logits_default
+TopKNucleusProcessor.sample_from_logits = _sample_from_logits_default
