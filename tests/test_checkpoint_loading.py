@@ -1,0 +1,85 @@
+"""End-to-end checkpoint loading: save a real HF checkpoint dir (config.json +
+safetensors + tokenizer.json) locally and load it through the harness's
+load_models — the same path a user takes with downloaded checkpoints."""
+import json
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def checkpoint_dir(tmp_path_factory):
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    d = tmp_path_factory.mktemp("ckpt")
+    torch.manual_seed(0)
+    cfg = LlamaConfig(
+        vocab_size=300, hidden_size=64, intermediate_size=112,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rms_norm_eps=1e-6,
+        tie_word_embeddings=False, eos_token_id=2, bos_token_id=1,
+        pad_token_id=0,
+    )
+    model = LlamaForCausalLM(cfg).eval()
+    model.save_pretrained(d)
+
+    # minimal fast tokenizer (byte-level BPE over a toy alphabet)
+    from tokenizers import Tokenizer, models, pre_tokenizers
+    tok = Tokenizer(models.BPE(unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    from tokenizers.trainers import BpeTrainer
+    trainer = BpeTrainer(vocab_size=300,
+                         special_tokens=["<pad>", "<s>", "</s>", "<unk>"])
+    tok.train_from_iterator(
+        ["the quick brown fox jumps over the lazy dog"] * 50, trainer)
+    tok.save(str(d / "tokenizer.json"))
+    (d / "tokenizer_config.json").write_text(json.dumps({
+        "tokenizer_class": "PreTrainedTokenizerFast",
+        "eos_token": "</s>", "pad_token": "<pad>", "unk_token": "<unk>",
+    }))
+    return str(d), model
+
+
+def test_load_models_from_local_checkpoint(checkpoint_dir):
+    from specdec_tpu.engine.model_loader import load_models
+
+    path, hf_model = checkpoint_dir
+    bundle = load_models(path, path, dtype=jnp.float32)
+    cfg = bundle["target"]["cfg"]
+    assert cfg.vocab_size == 300
+    assert cfg.num_layers == 2
+    assert bundle["end_tokens"], "eos must be discovered from the tokenizer"
+
+    # loaded logits must match the torch model
+    import torch
+    from specdec_tpu.core.model import forward_full
+    toks = np.asarray([[5, 9, 33, 2, 41]], np.int32)
+    ours = np.asarray(forward_full(cfg, bundle["target"]["params"],
+                                   jnp.asarray(toks)))
+    with torch.no_grad():
+        theirs = hf_model(torch.tensor(toks)).logits.float().numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-4)
+
+
+def test_generation_from_local_checkpoint(checkpoint_dir):
+    from specdec_tpu.engine.infer_engine import tokenize_batch
+    from specdec_tpu.engine.model_loader import load_models
+    from specdec_tpu.sampling.speculative import speculative_generate
+
+    path, _ = checkpoint_dir
+    bundle = load_models(path, path, dtype=jnp.float32)
+    ids = tokenize_batch(bundle["tokenizer"],
+                         ["the quick brown fox"], 64, chat=False)[0]
+    assert len(ids) > 0
+    out, rate = speculative_generate(
+        ids, bundle["drafter"]["cfg"], bundle["drafter"]["params"],
+        bundle["target"]["cfg"], bundle["target"]["params"], gamma=3,
+        max_gen_len=8, eos_tokens_id=bundle["end_tokens"],
+        pad_token_id=bundle["pad_token_id"], key=jax.random.key(0))
+    assert 0 < len(out) <= 8
+    assert rate == 1.0  # self-draft greedy
+    text = bundle["tokenizer"].decode(out, skip_special_tokens=True)
+    assert isinstance(text, str)
