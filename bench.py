@@ -130,6 +130,13 @@ def main():
     speedup = spec_tps / ar_tps if ar_tps > 0 else 0.0
     log(f"speedup vs AR: {speedup:.2f}x")
 
+    from specdec_tpu.engine.gamma_tuner import best_gamma
+    cost_ratio = DRAFT_LAYERS / t_cfg.num_layers  # bandwidth-bound approx
+    g_opt, s_pred = best_gamma(acc, cost_ratio)
+    log(f"gamma model: measured acceptance {acc:.3f}, cost ratio "
+        f"{cost_ratio:.2f} -> predicted best gamma {g_opt} "
+        f"(predicted speedup {s_pred:.2f}x)")
+
     print(json.dumps({
         "metric": "spec_decode_tokens_per_sec",
         "value": round(spec_tps, 2),

@@ -166,3 +166,20 @@ def test_vllm_compat_manager_generates(monkeypatch):
     assert isinstance(out, str)
     outs = mgr.generate_batch(["a", "bb"], max_tokens=5)
     assert len(outs) == 2
+
+
+def test_gamma_tuner_model():
+    from specdec_tpu.engine.gamma_tuner import (
+        best_gamma, expected_speedup, expected_tokens_per_window,
+    )
+    # hand-computed: a=0.5, gamma=2 → (1-0.125)/0.5 = 1.75 tokens
+    assert abs(expected_tokens_per_window(0.5, 2) - 1.75) < 1e-9
+    # zero acceptance → always exactly the one resampled token
+    assert expected_tokens_per_window(0.0, 5) == 1.0
+    # high acceptance + cheap drafter → larger gamma wins
+    g_hi, s_hi = best_gamma(0.9, cost_ratio=0.05)
+    g_lo, s_lo = best_gamma(0.3, cost_ratio=0.05)
+    assert g_hi > g_lo
+    assert s_hi > s_lo > 0
+    # expensive drafter can make speculation not worth it
+    assert expected_speedup(0.5, 4, cost_ratio=1.0) < 1.0
