@@ -137,16 +137,14 @@ def batch_prefill(drafter_cfg: Optional[ModelConfig], drafter_params,
                       accepted=zeros, speculated=zeros)
 
 
-@partial(jax.jit, static_argnames=(
-    "drafter_cfg", "target_cfg", "gamma", "processor", "eos_ids",
-    "skip_sample_adjustment"), donate_argnames=("state",))
-def batch_spec_window(drafter_cfg: ModelConfig, drafter_params,
+def _spec_window_body(drafter_cfg: ModelConfig, drafter_params,
                       target_cfg: ModelConfig, target_params,
                       state: BatchState, gamma: int,
                       processor: LogitsProcessor, eos_ids: Tuple[int, ...],
                       skip_sample_adjustment: bool,
                       key: jax.Array) -> BatchState:
-    """One gamma-draft/verify/accept window for the whole batch."""
+    """One gamma-draft/verify/accept window for the whole batch (traceable
+    body shared by the single-window and fused multi-window entry points)."""
     B = state.buf.shape[0]
     idxg = jnp.arange(gamma)
 
@@ -239,6 +237,47 @@ def batch_spec_window(drafter_cfg: ModelConfig, drafter_params,
         accepted=accepted, speculated=speculated)
 
 
+@partial(jax.jit, static_argnames=(
+    "drafter_cfg", "target_cfg", "gamma", "processor", "eos_ids",
+    "skip_sample_adjustment"), donate_argnames=("state",))
+def batch_spec_window(drafter_cfg, drafter_params, target_cfg, target_params,
+                      state: BatchState, gamma: int,
+                      processor: LogitsProcessor, eos_ids: Tuple[int, ...],
+                      skip_sample_adjustment: bool,
+                      key: jax.Array) -> BatchState:
+    return _spec_window_body(drafter_cfg, drafter_params, target_cfg,
+                             target_params, state, gamma, processor, eos_ids,
+                             skip_sample_adjustment, key)
+
+
+@partial(jax.jit, static_argnames=(
+    "drafter_cfg", "target_cfg", "gamma", "processor", "eos_ids",
+    "skip_sample_adjustment", "max_windows"), donate_argnames=("state",))
+def batch_spec_windows(drafter_cfg, drafter_params, target_cfg, target_params,
+                       state: BatchState, gamma: int,
+                       processor: LogitsProcessor, eos_ids: Tuple[int, ...],
+                       skip_sample_adjustment: bool, key: jax.Array,
+                       max_windows: int) -> BatchState:
+    """Run up to ``max_windows`` windows in ONE device program, exiting early
+    when every sequence is finished — amortizes the per-dispatch host cost
+    across windows (serving uses this as windows_per_sync)."""
+
+    def cond(st):
+        i, state = st
+        return (i < max_windows) & jnp.any(~state.finished)
+
+    def body(st):
+        i, state = st
+        state = _spec_window_body(
+            drafter_cfg, drafter_params, target_cfg, target_params, state,
+            gamma, processor, eos_ids, skip_sample_adjustment,
+            jax.random.fold_in(key, i))
+        return (i + 1, state)
+
+    _, state = lax.while_loop(cond, body, (jnp.int32(0), state))
+    return state
+
+
 @partial(jax.jit, static_argnames=("target_cfg", "processor", "eos_ids"),
          donate_argnames=("state",))
 def batch_ar_step(target_cfg: ModelConfig, target_params, state: BatchState,
@@ -308,25 +347,26 @@ def batch_speculative_generate(
                           bool(first_target), True, eos_ids,
                           jax.random.fold_in(key, 0))
 
-    window = 0
-    ttft_fired = False
-    while True:
-        finished = np.asarray(state.finished)
-        if finished.all():
-            break
-        state = batch_spec_window(
+    # first window separately (TTFT = first verified tokens), then fused
+    # multi-window chunks (one dispatch per chunk, early exit inside)
+    state = batch_spec_window(
+        drafter_cfg, drafter_params, target_cfg, target_params, state,
+        int(gamma), processor, eos_ids, bool(skip_sample_adjustment),
+        jax.random.fold_in(key, 1))
+    np.asarray(state.pos)  # materialize: the window actually completed
+    if first_token_callback is not None:
+        for i in range(B):
+            first_token_callback(i)
+
+    chunk = 8
+    round_idx = 0
+    while not bool(np.asarray(state.finished).all()):
+        state = batch_spec_windows(
             drafter_cfg, drafter_params, target_cfg, target_params, state,
             int(gamma), processor, eos_ids, bool(skip_sample_adjustment),
-            jax.random.fold_in(key, window + 1))
-        if not ttft_fired:
-            # first verified tokens now exist for every active request
-            state.pos.block_until_ready()
-            if first_token_callback is not None:
-                for i in range(B):
-                    first_token_callback(i)
-            ttft_fired = True
-        window += 1
-        if window > gen_len + 2:  # safety: each window advances >= 1
+            jax.random.fold_in(key, 1000 + round_idx), chunk)
+        round_idx += 1
+        if round_idx > gen_len + 2:
             break
 
     buf = np.asarray(state.buf)

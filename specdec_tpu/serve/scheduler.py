@@ -128,6 +128,7 @@ class ContinuousBatcher:
                  logits_processor: Optional[LogitsProcessor] = None,
                  eos_tokens_id=(), pad_token_id: int = 0,
                  skip_sample_adjustment: bool = False,
+                 windows_per_sync: int = 1,
                  key: Optional[jax.Array] = None):
         self.drafter_cfg, self.drafter_params = drafter_cfg, drafter_params
         self.target_cfg, self.target_params = target_cfg, target_params
@@ -139,6 +140,9 @@ class ContinuousBatcher:
         self.eos_ids = normalize_eos(eos_tokens_id)
         self.pad_id = pad_token_id
         self.skip_sample_adjustment = skip_sample_adjustment
+        # >1 trades admission latency for fewer host round-trips: that many
+        # speculative windows run per device dispatch (early exit inside)
+        self.windows_per_sync = max(1, int(windows_per_sync))
         self.key = key if key is not None else jax.random.key(0)
         self._key_ctr = 0
 
@@ -224,10 +228,18 @@ class ContinuousBatcher:
         return self._window_and_harvest()
 
     def _window_and_harvest(self):
-        self.state = batch_spec_window(
-            self.drafter_cfg, self.drafter_params, self.target_cfg,
-            self.target_params, self.state, self.gamma, self.processor,
-            self.eos_ids, self.skip_sample_adjustment, self._next_key())
+        if self.windows_per_sync > 1:
+            from specdec_tpu.engine.batch_engine import batch_spec_windows
+            self.state = batch_spec_windows(
+                self.drafter_cfg, self.drafter_params, self.target_cfg,
+                self.target_params, self.state, self.gamma, self.processor,
+                self.eos_ids, self.skip_sample_adjustment, self._next_key(),
+                self.windows_per_sync)
+        else:
+            self.state = batch_spec_window(
+                self.drafter_cfg, self.drafter_params, self.target_cfg,
+                self.target_params, self.state, self.gamma, self.processor,
+                self.eos_ids, self.skip_sample_adjustment, self._next_key())
 
         now = time.time()
         finished = np.asarray(self.state.finished)
