@@ -96,7 +96,8 @@ class InferenceCLI:
             t0 = time.time()
             out, rate = speculative_generate(
                 ids, self.drafter_cfg, self.drafter_params,
-                self.target_cfg, self.target_params, gamma=self.gamma,
+                self.target_cfg, self.target_params,
+                tokenizer=self.tokenizer, gamma=self.gamma,
                 logits_processor=self.processor, max_gen_len=self.gen_len,
                 eos_tokens_id=self.end_tokens, pad_token_id=self.pad_token_id,
                 key=key, debug=self.debug)
@@ -260,7 +261,13 @@ def main():
     ap = argparse.ArgumentParser(description="interactive comparison REPL")
     ap.add_argument("--target-model", default=None)
     ap.add_argument("--drafter-model", default=None)
+    ap.add_argument("--device", default=None,
+                    help="accepted for reference-CLI parity (ref infer.py:921-"
+                         "923); placement is mesh-driven on TPU")
     args = ap.parse_args()
+    if args.device:
+        print(f"note: --device {args.device!r} accepted for compatibility; "
+              "TPU placement is mesh-driven")
     InferenceCLI(args.target_model, args.drafter_model).run()
 
 

@@ -191,6 +191,7 @@ def speculative_generate(
     inputs: Sequence[int],
     drafter_cfg: ModelConfig, drafter_params,
     target_cfg: ModelConfig, target_params,
+    tokenizer=None,             # used for debug visualization (ref :27)
     gamma: int = 5,
     logits_processor: Optional[LogitsProcessor] = None,
     max_gen_len: int = 40,
@@ -224,7 +225,18 @@ def speculative_generate(
     speculated = int(speculated)
     rate = accepted / speculated if speculated > 0 else 0.0
     if debug:
+        from specdec_tpu.utils import printing
         log = [int(a) for a in np.asarray(accept_log) if int(a) >= 0]
         print(f"[specdec] windows={len(log)} accepts/window={log} "
               f"acceptance={rate:.3f}")
+        # colored visualization of the committed stream, green = draft-
+        # accepted spans, blue = target-sampled tokens (ref printing.py:29-42)
+        pos = n
+        for n_acc in log:
+            committed = buf[pos:min(pos + n_acc + 1, n + n_gen)].tolist()
+            if not committed:
+                break
+            printing.speculative_step(tokenizer, committed[:-1],
+                                      len(committed) - 1, committed[-1])
+            pos += len(committed)
     return buf[n:n + n_gen].tolist(), rate
