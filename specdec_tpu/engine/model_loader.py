@@ -105,6 +105,20 @@ def load_models(
     def load_one(path):
         if path.startswith("synthetic"):
             return _synthetic(path, dtype), None
+        # encoder-decoder checkpoints route to the codec model family
+        from transformers import AutoConfig
+        hf_cfg = AutoConfig.from_pretrained(path)
+        if getattr(hf_cfg, "model_type", "") in ("t5", "mt5"):
+            from transformers import T5ForConditionalGeneration
+            from specdec_tpu.core.codec_model import (
+                codec_config_from_hf, codec_params_from_hf,
+            )
+            cfg = codec_config_from_hf(hf_cfg, dtype=dtype)
+            model = T5ForConditionalGeneration.from_pretrained(
+                path, torch_dtype="float32")
+            params = codec_params_from_hf(model, cfg)
+            del model
+            return {"cfg": cfg, "params": params, "codec": True}, path
         from specdec_tpu.core.hf_loader import load_hf_model
         cfg, params = load_hf_model(path, dtype=dtype)
         return {"cfg": cfg, "params": params}, path
