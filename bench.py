@@ -72,7 +72,7 @@ def main():
 
     # --- distill the drafter (the honest synthetic drafter/target pair) ----
     from specdec_tpu.engine.distill import distill_drafter
-    steps = int(os.getenv("BENCH_DISTILL_STEPS", "300"))
+    steps = int(os.getenv("BENCH_DISTILL_STEPS", "400"))
     t0 = time.time()
     drafter, acc_proxy = distill_drafter(
         t_cfg, target, d_cfg, drafter, steps=steps, batch_size=8, seq_len=128,
@@ -84,9 +84,12 @@ def main():
     proc = MultinomialProcessor(temperature=1.0)
     rng = np.random.default_rng(0)
     prompt = [int(t) for t in rng.integers(1, V, size=60)]  # bucket 64
-    GEN = 48
-    GAMMA = 5
-    REPS = 5
+    # GEN large enough to amortize the fixed per-call cost (dispatch + prefill
+    # ~40ms); gamma=3 is the measured optimum at the distilled acceptance
+    # (sweep: g2 378, g3 382, g5 366 tok/s vs AR 301 on the v5e chip)
+    GEN = 256
+    GAMMA = 3
+    REPS = 4
 
     # --- AR baseline -------------------------------------------------------
     t0 = time.time()
