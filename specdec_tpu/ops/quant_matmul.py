@@ -137,12 +137,18 @@ def _nf4_kernel(xe_ref, xo_ref, p_ref, am_ref, out_ref, acc_ref):
 
 @functools.partial(jax.jit, static_argnames=("tile_n", "tile_k"))
 def _nf4_matmul_2d(x: jax.Array, packed: jax.Array, absmax: jax.Array,
-                   tile_n: int = 256, tile_k: int = 256) -> jax.Array:
-    """x: [M, K]; packed: [K/2, N] u8; absmax: [K/64, N] f32."""
+                   tile_n: int = 256, tile_k: int = 512) -> jax.Array:
+    """x: [M, K]; packed: [K/2, N] u8; absmax: [K/64, N] f32.
+
+    tile_k must be >= 8*NF4_BLOCK: the absmax tile's sublane dimension is
+    tile_k/64 and Mosaic requires sublane counts divisible by 8 (caught by
+    real-TPU lowering; interpret mode does not enforce it)."""
     M, K = x.shape
     K2, N = packed.shape
     assert K == K2 * 2 and K % NF4_BLOCK == 0
     assert tile_k % NF4_BLOCK == 0
+    assert tile_k >= 8 * NF4_BLOCK, (
+        f"tile_k={tile_k} gives absmax sublane {tile_k // NF4_BLOCK} < 8")
     tk2 = tile_k // 2
 
     Mp = max(8, ((M + 7) // 8) * 8)

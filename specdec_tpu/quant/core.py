@@ -97,8 +97,12 @@ def quantize_nf4(w: jax.Array) -> NF4Weight:
     blocks = w.reshape(*lead, K // NF4_BLOCK, NF4_BLOCK, N)
     absmax = jnp.max(jnp.abs(blocks), axis=-2)               # [..., K/64, N]
     normed = blocks / jnp.maximum(absmax[..., None, :], 1e-12)
-    code = jnp.argmin(
-        jnp.abs(normed[..., None] - jnp.asarray(NF4_CODEBOOK)), axis=-1)
+    # nearest codebook entry via midpoint boundaries (the codebook is sorted);
+    # O(elements) memory — an argmin over a broadcast distance tensor would
+    # materialize elements x 16 floats and OOMs on stacked full-model weights
+    cb = jnp.asarray(NF4_CODEBOOK)
+    mids = (cb[1:] + cb[:-1]) / 2.0
+    code = jnp.searchsorted(mids, normed)
     code = code.reshape(*lead, K, N).astype(jnp.uint8)
     lo = code[..., 0::2, :]
     hi = code[..., 1::2, :]

@@ -78,7 +78,7 @@ def test_nf4_pallas_kernel_matches_oracle_interpret():
     w = jnp.asarray(RNG.normal(size=(128, 96)).astype(np.float32))
     qw = quantize_nf4(w)
     with pltpu.force_tpu_interpret_mode():
-        out = _nf4_matmul_2d(x, qw.packed, qw.absmax, tile_n=128, tile_k=128)
+        out = _nf4_matmul_2d(x, qw.packed, qw.absmax, tile_n=128, tile_k=512)
     oracle = (x @ dequantize(qw)).astype(jnp.bfloat16)
     np.testing.assert_allclose(np.asarray(out, dtype=np.float32),
                                np.asarray(oracle, dtype=np.float32),
