@@ -112,13 +112,7 @@ def _block(cfg: ModelConfig, lp: Params, x, cos, sin, q_pos,
     Hq, Hk, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
     h = _norm(cfg, x, lp["attn_norm_w"], lp.get("attn_norm_b"))
-    q = _mm(h, lp["wq"])
-    k = _mm(h, lp["wk"])
-    v = _mm(h, lp["wv"])
-    if cfg.attn_qkv_bias:
-        q = q + lp["bq"]
-        k = k + lp["bk"]
-        v = v + lp["bv"]
+    q, k, v = _qkv(cfg, lp, h)
     q = q.reshape(B, T, Hq, Dh)
     k = k.reshape(B, T, Hk, Dh)
     v = v.reshape(B, T, Hk, Dh)
@@ -141,18 +135,7 @@ def _block(cfg: ModelConfig, lp: Params, x, cos, sin, q_pos,
         x = x + attn
         m = _norm(cfg, x, lp["mlp_norm_w"], lp.get("mlp_norm_b"))
 
-    if cfg.gated_mlp:
-        gate = _mm(m, lp["w_gate"])
-        up = _mm(m, lp["w_up"])
-        if cfg.mlp_bias:
-            gate = gate + lp["b_gate"]
-            up = up + lp["b_up"]
-        mlp = _act(cfg, gate) * up
-    else:
-        up = _mm(m, lp["w_up"])
-        if cfg.mlp_bias:
-            up = up + lp["b_up"]
-        mlp = _act(cfg, up)
+    mlp = _mlp_up(cfg, lp, m)
     mlp = _mm(mlp, lp["w_down"])
     if cfg.mlp_bias:
         mlp = mlp + lp["b_down"]
@@ -162,6 +145,46 @@ def _block(cfg: ModelConfig, lp: Params, x, cos, sin, q_pos,
     else:
         x = x + mlp
     return x, layer_k, layer_v
+
+
+def _qkv(cfg: ModelConfig, lp: Params, h):
+    """q/k/v projections; a fused ``wqkv`` weight (quantize_params(fuse=True))
+    runs as ONE matmul/kernel launch and is split afterwards."""
+    Hq, Hk, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    if "wqkv" in lp:
+        qkv = _mm(h, lp["wqkv"])
+        if cfg.attn_qkv_bias:
+            qkv = qkv + lp["bqkv"]
+        q = qkv[..., :Hq * Dh]
+        k = qkv[..., Hq * Dh:(Hq + Hk) * Dh]
+        v = qkv[..., (Hq + Hk) * Dh:]
+        return q, k, v
+    q = _mm(h, lp["wq"])
+    k = _mm(h, lp["wk"])
+    v = _mm(h, lp["wv"])
+    if cfg.attn_qkv_bias:
+        q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
+    return q, k, v
+
+
+def _mlp_up(cfg: ModelConfig, lp: Params, m):
+    """Gate/up projections (fused ``w_gateup`` runs as one launch)."""
+    if cfg.gated_mlp:
+        if "w_gateup" in lp:
+            gu = _mm(m, lp["w_gateup"])
+            if cfg.mlp_bias:
+                gu = gu + lp["b_gateup"]
+            F = gu.shape[-1] // 2
+            return _act(cfg, gu[..., :F]) * gu[..., F:]
+        gate = _mm(m, lp["w_gate"])
+        up = _mm(m, lp["w_up"])
+        if cfg.mlp_bias:
+            gate, up = gate + lp["b_gate"], up + lp["b_up"]
+        return _act(cfg, gate) * up
+    up = _mm(m, lp["w_up"])
+    if cfg.mlp_bias:
+        up = up + lp["b_up"]
+    return _act(cfg, up)
 
 
 def forward_step(cfg: ModelConfig, params: Params, tokens: jax.Array,
@@ -291,11 +314,7 @@ def forward_step_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
         Hq, Hk, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
         hh = _norm(cfg, h, lp["attn_norm_w"], lp.get("attn_norm_b"))
-        q = _mm(hh, lp["wq"])
-        k = _mm(hh, lp["wk"])
-        v = _mm(hh, lp["wv"])
-        if cfg.attn_qkv_bias:
-            q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
+        q, k, v = _qkv(cfg, lp, hh)
         q = q.reshape(B, T, Hq, Dh)
         k = k.reshape(B, T, Hk, Dh)
         v = v.reshape(B, T, Hk, Dh)
@@ -325,17 +344,7 @@ def forward_step_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
         else:
             h = h + attn
             m = _norm(cfg, h, lp["mlp_norm_w"], lp.get("mlp_norm_b"))
-        if cfg.gated_mlp:
-            gate = _mm(m, lp["w_gate"])
-            up = _mm(m, lp["w_up"])
-            if cfg.mlp_bias:
-                gate, up = gate + lp["b_gate"], up + lp["b_up"]
-            mlp = _act(cfg, gate) * up
-        else:
-            up = _mm(m, lp["w_up"])
-            if cfg.mlp_bias:
-                up = up + lp["b_up"]
-            mlp = _act(cfg, up)
+        mlp = _mlp_up(cfg, lp, m)
         mlp = _mm(mlp, lp["w_down"])
         if cfg.mlp_bias:
             mlp = mlp + lp["b_down"]

@@ -124,3 +124,29 @@ def test_nf4_quantized_spec_decode_runs():
         eos_tokens_id=(), key=jax.random.key(2))
     assert len(out) == 6
     assert 0.0 <= rate <= 1.0
+
+
+def test_fused_quantization_matches_unfused():
+    """fuse=True (one wqkv / w_gateup launch per block) must be numerically
+    identical to unfused quantization — scales are per-output-channel, so
+    concatenation before quantization changes nothing."""
+    params = init_params(CFG, jax.random.key(0), scale=0.3)
+    toks = jnp.asarray(RNG.integers(0, VOCAB, size=(1, 10)).astype(np.int32))
+    unfused = np.asarray(forward_full(CFG, quantize_params(params, "int8"),
+                                      toks))
+    qf = quantize_params(params, "int8", fuse=True)
+    assert "wqkv" in qf["layers"] and "wq" not in qf["layers"]
+    assert "w_gateup" in qf["layers"]
+    fused = np.asarray(forward_full(CFG, qf, toks))
+    np.testing.assert_allclose(fused, unfused, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_qkv_bias_model():
+    cfg = CFG.replace(attn_qkv_bias=True)
+    params = init_params(cfg, jax.random.key(1), scale=0.3)
+    toks = jnp.asarray(RNG.integers(0, VOCAB, size=(1, 8)).astype(np.int32))
+    unfused = np.asarray(forward_full(cfg, quantize_params(params, "int8"),
+                                      toks))
+    fused = np.asarray(forward_full(
+        cfg, quantize_params(params, "int8", fuse=True), toks))
+    np.testing.assert_allclose(fused, unfused, rtol=1e-5, atol=1e-5)
