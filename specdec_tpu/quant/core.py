@@ -90,7 +90,17 @@ def quantize_int8(w: jax.Array) -> Int8Weight:
 
 def quantize_nf4(w: jax.Array) -> NF4Weight:
     """Blockwise NF4: codes = nearest codebook entry of w/absmax per
-    64-element block along the reduction (second-to-last) dim."""
+    64-element block along the reduction (second-to-last) dim.
+
+    Stacked (leading-layer-axis) weights quantize one slice at a time: the
+    f32 upcast + normalization intermediates are ~4x the weight bytes, which
+    exhausts HBM if materialized for a whole fused 22-layer stack at once.
+    """
+    if w.ndim >= 3:
+        slices = [quantize_nf4(w[i]) for i in range(w.shape[0])]
+        return NF4Weight(
+            packed=jnp.stack([s.packed for s in slices]),
+            absmax=jnp.stack([s.absmax for s in slices]))
     w = w.astype(jnp.float32)
     *lead, K, N = w.shape
     assert K % NF4_BLOCK == 0, f"K={K} not divisible by {NF4_BLOCK}"
