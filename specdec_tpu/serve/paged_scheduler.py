@@ -34,11 +34,11 @@ from specdec_tpu.serve.scheduler import ContinuousBatcher, Request
 
 
 @partial(jax.jit, static_argnames=(
-    "drafter_cfg", "target_cfg", "processor", "eos_ids", "slot"),
+    "drafter_cfg", "target_cfg", "processor", "eos_ids"),
          donate_argnames=("state",))
 def _admit_slot_paged(drafter_cfg: ModelConfig, drafter_params,
                       target_cfg: ModelConfig, target_params,
-                      state: BatchState, slot: int,
+                      state: BatchState, slot: jax.Array,
                       prompt: jax.Array, prompt_len: jax.Array,
                       max_new: jax.Array,
                       t_row: jax.Array, d_row: jax.Array,
@@ -202,7 +202,7 @@ class PagedContinuousBatcher(ContinuousBatcher):
         prompt[:n] = req.prompt_ids[:n]
         self.state = _admit_slot_paged(
             self.drafter_cfg, self.drafter_params, self.target_cfg,
-            self.target_params, self.state, slot, jnp.asarray(prompt),
+            self.target_params, self.state, jnp.int32(slot), jnp.asarray(prompt),
             jnp.int32(n), jnp.int32(req.max_new_tokens),
             self._table_row(self._slot_pages_t[slot]),
             self._table_row(self._slot_pages_d[slot]),

@@ -51,11 +51,11 @@ class Request:
 
 
 @partial(jax.jit, static_argnames=(
-    "drafter_cfg", "target_cfg", "processor", "eos_ids", "slot"),
+    "drafter_cfg", "target_cfg", "processor", "eos_ids"),
          donate_argnames=("state",))
 def _admit_slot(drafter_cfg: ModelConfig, drafter_params,
                 target_cfg: ModelConfig, target_params,
-                state: BatchState, slot: int,
+                state: BatchState, slot: jax.Array,
                 prompt: jax.Array, prompt_len: jax.Array,
                 max_new: jax.Array,
                 processor: LogitsProcessor, eos_ids: Tuple[int, ...],
@@ -189,7 +189,7 @@ class ContinuousBatcher:
         prompt[:n] = req.prompt_ids[:n]
         self.state = _admit_slot(
             self.drafter_cfg, self.drafter_params, self.target_cfg,
-            self.target_params, self.state, slot, jnp.asarray(prompt),
+            self.target_params, self.state, jnp.int32(slot), jnp.asarray(prompt),
             jnp.int32(n), jnp.int32(req.max_new_tokens), self.processor,
             self.eos_ids, self._next_key())
         self.slot_req[slot] = req
