@@ -31,7 +31,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from specdec_tpu.quant.core import (
-    NF4_BLOCK, Int8Weight, NF4Weight, _nf4_decode, dequantize,
+    NF4_BLOCK, FP4Weight, Int8Weight, NF4Weight, _fp4_decode, _nf4_decode,
+    dequantize,
 )
 
 
@@ -105,7 +106,8 @@ def _int8_matmul_2d(x: jax.Array, q: jax.Array, scale: jax.Array,
 # NF4
 # ---------------------------------------------------------------------------
 
-def _nf4_kernel(xe_ref, xo_ref, p_ref, am_ref, out_ref, acc_ref):
+def _nf4_kernel(xe_ref, xo_ref, p_ref, am_ref, out_ref, acc_ref,
+                *, decode=_nf4_decode):
     k = pl.program_id(1)
     nk = pl.num_programs(1)
 
@@ -121,8 +123,8 @@ def _nf4_kernel(xe_ref, xo_ref, p_ref, am_ref, out_ref, acc_ref):
     am = am_ref[:]
     am = jnp.broadcast_to(am[:, None, :], (am.shape[0], rep, am.shape[1]))
     am = am.reshape(p_ref.shape[0], am_ref.shape[1])            # [TK2, TN]
-    w_lo = _nf4_decode(packed & 0xF) * am
-    w_hi = _nf4_decode(packed >> 4) * am
+    w_lo = decode(packed & 0xF) * am
+    w_hi = decode(packed >> 4) * am
     acc_ref[:] += jnp.dot(xe_ref[:].astype(jnp.bfloat16),
                           w_lo.astype(jnp.bfloat16),
                           preferred_element_type=jnp.float32)
@@ -135,9 +137,10 @@ def _nf4_kernel(xe_ref, xo_ref, p_ref, am_ref, out_ref, acc_ref):
         out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_n", "tile_k"))
+@functools.partial(jax.jit, static_argnames=("tile_n", "tile_k", "fp4"))
 def _nf4_matmul_2d(x: jax.Array, packed: jax.Array, absmax: jax.Array,
-                   tile_n: int = 256, tile_k: int = 512) -> jax.Array:
+                   tile_n: int = 256, tile_k: int = 512,
+                   fp4: bool = False) -> jax.Array:
     """x: [M, K]; packed: [K/2, N] u8; absmax: [K/64, N] f32.
 
     tile_k must be >= 8*NF4_BLOCK: the absmax tile's sublane dimension is
@@ -160,7 +163,8 @@ def _nf4_matmul_2d(x: jax.Array, packed: jax.Array, absmax: jax.Array,
 
     grid = (Np // tile_n, K2p // tk2)
     out = pl.pallas_call(
-        _nf4_kernel,
+        functools.partial(_nf4_kernel,
+                          decode=_fp4_decode if fp4 else _nf4_decode),
         grid=grid,
         in_specs=[
             pl.BlockSpec((Mp, tk2), lambda n, k: (0, k),
@@ -208,7 +212,8 @@ def quant_matmul(x: jax.Array, w: Union[Int8Weight, NF4Weight]) -> jax.Array:
         if isinstance(w, Int8Weight):
             out = _int8_matmul_2d(x2, w.q, w.scale)
         else:
-            out = _nf4_matmul_2d(x2, w.packed, w.absmax)
+            out = _nf4_matmul_2d(x2, w.packed, w.absmax,
+                                 fp4=isinstance(w, FP4Weight))
         out = out.astype(x.dtype)
     else:
         wd = dequantize(w, jnp.float32)

@@ -150,3 +150,49 @@ def test_fused_qkv_bias_model():
     fused = np.asarray(forward_full(
         cfg, quantize_params(params, "int8", fuse=True), toks))
     np.testing.assert_allclose(fused, unfused, rtol=1e-5, atol=1e-5)
+
+
+def test_fp4_roundtrip_and_fallback():
+    from specdec_tpu.quant.core import FP4_VALUES, FP4Weight, quantize_fp4
+
+    w = jnp.asarray(RNG.normal(size=(128, 64)).astype(np.float32))
+    qw = quantize_fp4(w)
+    assert isinstance(qw, FP4Weight)
+    deq = np.asarray(dequantize(qw))
+    # every dequantized magnitude must sit on the fp4 grid x blockwise scale
+    am = np.repeat(np.asarray(qw.absmax), 64, axis=0)
+    normed = np.abs(deq) / np.maximum(am, 1e-12)
+    dist = np.abs(normed[..., None] - FP4_VALUES).min(-1)
+    assert dist.max() < 1e-5
+    # nearest projection: fp4 error is bounded by half the largest grid gap
+    err = np.abs(deq - np.asarray(w)) / np.maximum(am * 6.0, 1e-12)
+    assert err.max() <= (1.0 / 6.0) + 1e-5  # largest gap is 2.0 on the 0..6 grid
+
+    x = jnp.asarray(RNG.normal(size=(3, 128)).astype(np.float32))
+    out = qmatmul(x, qw)
+    oracle = x @ dequantize(qw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(oracle),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fp4_pallas_kernel_matches_oracle_interpret():
+    from specdec_tpu.quant.core import quantize_fp4
+    x = jnp.asarray(RNG.normal(size=(2, 128)).astype(np.float32))
+    w = jnp.asarray(RNG.normal(size=(128, 96)).astype(np.float32))
+    qw = quantize_fp4(w)
+    with pltpu.force_tpu_interpret_mode():
+        out = _nf4_matmul_2d(x, qw.packed, qw.absmax, tile_n=128, tile_k=512,
+                             fp4=True)
+    oracle = (x @ dequantize(qw)).astype(jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(out, dtype=np.float32),
+                               np.asarray(oracle, dtype=np.float32),
+                               rtol=2e-2, atol=2e-1)
+
+
+def test_fp4_model_end_to_end():
+    from specdec_tpu.sampling.base_decoding import autoregressive_generate
+    params = init_params(CFG, jax.random.key(0), scale=0.3)
+    qp = quantize_params(params, kind="fp4", fuse=True)
+    out = autoregressive_generate([3, 5, 9], CFG, qp, max_gen_len=6,
+                                  eos_tokens_id=(), key=jax.random.key(1))
+    assert len(out) == 6
