@@ -82,14 +82,17 @@ def _spec_generate(
         buf = lax.dynamic_update_index_in_dim(buf, tok0, prompt_len, axis=0)
         pos = prompt_len + 1
         finished0 = eos_mask(tok0, eos_ids) | (pos >= total_len)
-        # caches must cover [0, pos-1): target covers prompt_len ✓ (= pos-1);
-        # drafter covers prompt_len ✓
-        d_cache = d_cache.with_length(jnp.full((1,), prompt_len, jnp.int32))
+        # invariants at window start: target cache covers pos-1 tokens;
+        # drafter cache covers pos-2 (its first draft step feeds TWO tokens,
+        # which folds the accepted-bonus catch-up into the window — one fewer
+        # drafter forward per window than the naive extra catch-up pass)
+        d_cache = d_cache.with_length(jnp.full((1,), prompt_len - 1, jnp.int32))
         t_cache = t_cache.with_length(jnp.full((1,), prompt_len, jnp.int32))
     else:
+        # note: requires prompt_len >= 2 (drafter window start reads pos-2)
         pos = prompt_len
         finished0 = pos >= total_len
-        d_cache = d_cache.with_length(jnp.full((1,), prompt_len - 1, jnp.int32))
+        d_cache = d_cache.with_length(jnp.full((1,), prompt_len - 2, jnp.int32))
         t_cache = t_cache.with_length(jnp.full((1,), prompt_len - 1, jnp.int32))
 
     accept_log = jnp.full((max_windows,), -1, dtype=jnp.int32)
@@ -105,8 +108,17 @@ def _spec_generate(
         wkey = jax.random.fold_in(key, window)
         k_draft, k_accept, k_resample = jax.random.split(wkey, 3)
 
-        # --- draft phase: gamma cached drafter steps (lax.scan) -------------
+        # --- draft phase: gamma cached drafter forwards ---------------------
+        # step 0 feeds TWO tokens (buf[pos-2], buf[pos-1]): the drafter cache
+        # covers pos-2 at window start, so this simultaneously catches up the
+        # previous window's last committed token and drafts x0 — bandwidth
+        # cost of a T=2 matvec equals a T=1 one, saving a forward per window
         first_tok = lax.dynamic_index_in_dim(buf, pos - 1, axis=0, keepdims=False)
+        prev2 = lax.dynamic_slice(buf, (pos - 2,), (2,))
+        logits2, d_cache = forward_step(drafter_cfg, drafter_params,
+                                        prev2[None, :], d_cache)
+        q0 = processor(logits2[0, 1])
+        x0 = processor.sample(q0, jax.random.fold_in(k_draft, 0)).astype(jnp.int32)
 
         def draft_step(carry, i):
             cache, prev_tok = carry
@@ -116,13 +128,12 @@ def _spec_generate(
             x = processor.sample(q, jax.random.fold_in(k_draft, i)).astype(jnp.int32)
             return (cache, x), (q, x)
 
-        (d_cache, last_draft), (q_all, drafts) = lax.scan(
-            draft_step, (d_cache, first_tok), jnp.arange(gamma))
-        # consume the last draft too so the drafter cache covers pos+gamma
-        # tokens — rollback to any pos'-1 is then pure arithmetic (no
-        # "catch-up" forward with dynamic length next window)
-        _, d_cache = forward_step(drafter_cfg, drafter_params,
-                                  last_draft[None, None], d_cache)
+        (d_cache, _), (q_rest, drafts_rest) = lax.scan(
+            draft_step, (d_cache, x0), jnp.arange(1, gamma))
+        q_all = jnp.concatenate([q0[None], q_rest])         # [gamma, V]
+        drafts = jnp.concatenate([x0[None], drafts_rest])   # [gamma]
+        # drafter cache now covers pos+gamma-1 tokens (>= new_pos-2 for any
+        # accept count incl. the full-accept+bonus case)
 
         # --- verify phase: ONE target forward over gamma+1 positions --------
         t_in = jnp.concatenate([first_tok[None], drafts])   # [gamma+1]
@@ -172,8 +183,8 @@ def _spec_generate(
         accepted = accepted + jnp.minimum(n, corrected_gamma)
         speculated = speculated + corrected_gamma
 
-        # roll both caches to cover exactly new_pos-1 tokens
-        d_cache = d_cache.with_length(jnp.full((1,), new_pos - 1, jnp.int32))
+        # restore invariants: target covers new_pos-1, drafter new_pos-2
+        d_cache = d_cache.with_length(jnp.full((1,), new_pos - 2, jnp.int32))
         t_cache = t_cache.with_length(jnp.full((1,), new_pos - 1, jnp.int32))
 
         accept_log = accept_log.at[window].set(n)
