@@ -125,10 +125,11 @@ def batch_prefill(drafter_cfg: Optional[ModelConfig], drafter_params,
         pos = prompt_lens
         finished = pos >= total_len
 
-    cache_len = pos - 1
-    t_cache = t_cache.with_length(cache_len)
+    t_cache = t_cache.with_length(pos - 1)
     if use_drafter:
-        d_cache = d_cache.with_length(cache_len)
+        # drafter invariant: covers pos-2 (the window's first draft step
+        # feeds two tokens — see _spec_window_body's catch-up fold)
+        d_cache = d_cache.with_length(pos - 2)
 
     zeros = jnp.zeros((B,), jnp.int32)
     return BatchState(buf=buf, pos=pos, prompt_len=prompt_lens,
@@ -151,7 +152,18 @@ def _spec_window_body(drafter_cfg: ModelConfig, drafter_params,
     first_tok = _gather_last(state.buf, state.pos)          # [B]
     k_draft, k_accept, k_resample = jax.random.split(key, 3)
 
-    # --- draft phase -------------------------------------------------------
+    # --- draft phase (two-token first step: catch-up fold, see
+    # sampling/speculative.py) ---------------------------------------------
+    prev2 = jnp.stack([
+        jnp.take_along_axis(state.buf, (state.pos - 2)[:, None], axis=1)[:, 0],
+        first_tok], axis=1)                                  # [B, 2]
+    logits2, d_cache = forward_step(drafter_cfg, drafter_params, prev2,
+                                    state.d_cache)
+    q0 = processor(logits2[:, 1])                            # [B, V]
+    keys0 = jax.random.split(jax.random.fold_in(k_draft, 0), B)
+    x0 = jax.vmap(lambda qi, ki: processor.sample(qi, ki))(q0, keys0)
+    x0 = x0.astype(jnp.int32)
+
     def draft_step(carry, i):
         cache, prev = carry
         logits, cache = forward_step(drafter_cfg, drafter_params,
@@ -162,14 +174,11 @@ def _spec_window_body(drafter_cfg: ModelConfig, drafter_params,
         x = x.astype(jnp.int32)
         return (cache, x), (q, x)
 
-    (d_cache, last_draft), (q_all, drafts) = lax.scan(
-        draft_step, (state.d_cache, first_tok), idxg)
-    q_all = jnp.swapaxes(q_all, 0, 1)                       # [B, gamma, V]
-    drafts = jnp.swapaxes(drafts, 0, 1)                     # [B, gamma]
-    # consume the final draft so the drafter cache covers pos+gamma tokens —
-    # any rollback is then pure length arithmetic (see sampling/speculative.py)
-    _, d_cache = forward_step(drafter_cfg, drafter_params,
-                              last_draft[:, None], d_cache)
+    (d_cache, _), (q_rest, drafts_rest) = lax.scan(
+        draft_step, (d_cache, x0), jnp.arange(1, gamma))
+    q_all = jnp.concatenate([q0[:, None], jnp.swapaxes(q_rest, 0, 1)], axis=1)
+    drafts = jnp.concatenate([x0[:, None], jnp.swapaxes(drafts_rest, 0, 1)],
+                             axis=1)                        # [B, gamma]
 
     # --- verify phase ------------------------------------------------------
     t_in = jnp.concatenate([first_tok[:, None], drafts], axis=1)  # [B, gamma+1]
@@ -229,11 +238,10 @@ def _spec_window_body(drafter_cfg: ModelConfig, drafter_params,
         active, jnp.minimum(n, corrected_gamma), 0)
     speculated = state.speculated + jnp.where(active, corrected_gamma, 0)
 
-    cache_len = new_pos - 1
     return dataclasses.replace(
         state, buf=buf, pos=new_pos, finished=finished,
-        d_cache=d_cache.with_length(cache_len),
-        t_cache=t_cache.with_length(cache_len),
+        d_cache=d_cache.with_length(new_pos - 2),
+        t_cache=t_cache.with_length(new_pos - 1),
         accepted=accepted, speculated=speculated)
 
 

@@ -86,7 +86,6 @@ def _admit_slot_paged(drafter_cfg: ModelConfig, drafter_params,
     if eos_ids:
         eos0 = jnp.any(tok0 == jnp.asarray(eos_ids, jnp.int32))
     finished = eos0 | (pos >= total)
-    cache_len = pos - 1
 
     return dataclasses.replace(
         state,
@@ -97,10 +96,11 @@ def _admit_slot_paged(drafter_cfg: ModelConfig, drafter_params,
         finished=put_row(state.finished, finished),
         t_cache=dataclasses.replace(
             t_cache, k=t_view.k, v=t_view.v,
-            length=put_row(t_cache.length, cache_len)),
+            length=put_row(t_cache.length, pos - 1)),
+        # drafter invariant: covers pos-2 (two-token first draft step)
         d_cache=dataclasses.replace(
             d_cache, k=d_view.k, v=d_view.v,
-            length=put_row(d_cache.length, cache_len)),
+            length=put_row(d_cache.length, pos - 2)),
         accepted=put_row(state.accepted, jnp.int32(0)),
         speculated=put_row(state.speculated, jnp.int32(0)),
     )

@@ -101,7 +101,6 @@ def _admit_slot(drafter_cfg: ModelConfig, drafter_params,
     new_d_k = lax.dynamic_update_slice_in_dim(d_cache.k, d_cache1.k, slot, axis=1)
     new_d_v = lax.dynamic_update_slice_in_dim(d_cache.v, d_cache1.v, slot, axis=1)
 
-    cache_len = pos - 1
     return dataclasses.replace(
         state,
         buf=put_row(state.buf, row),
@@ -110,9 +109,10 @@ def _admit_slot(drafter_cfg: ModelConfig, drafter_params,
         total_len=put_row(state.total_len, total),
         finished=put_row(state.finished, finished),
         t_cache=dataclasses.replace(t_cache, k=new_t_k, v=new_t_v,
-                                    length=put_row(t_cache.length, cache_len)),
+                                    length=put_row(t_cache.length, pos - 1)),
+        # drafter invariant: covers pos-2 (two-token first draft step)
         d_cache=dataclasses.replace(d_cache, k=new_d_k, v=new_d_v,
-                                    length=put_row(d_cache.length, cache_len)),
+                                    length=put_row(d_cache.length, pos - 2)),
         accepted=put_row(state.accepted, jnp.int32(0)),
         speculated=put_row(state.speculated, jnp.int32(0)),
     )
