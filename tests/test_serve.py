@@ -85,3 +85,31 @@ def test_server_benchmark_open_loop():
     for b in res.batches:
         assert b.requests[0].ttft >= 0
         assert b.requests[0].generated_tokens == 8
+
+
+def test_stream_generate_yields_exact_output():
+    from specdec_tpu.serve.streaming import stream_generate
+
+    cb = ContinuousBatcher(CFG, TARGET, CFG, TARGET, num_slots=2, gamma=3,
+                           max_prompt_len=64, max_new_tokens=12,
+                           eos_tokens_id=())
+    prompt = [3, 14, 15, 9, 2, 6]
+    chunks = list(stream_generate(cb, prompt))
+    streamed = [t for c in chunks for t in c]
+    expect = autoregressive_generate(prompt, CFG, TARGET, max_gen_len=12,
+                                     eos_tokens_id=(), key=jax.random.key(0))
+    assert streamed == expect
+    assert len(chunks) >= 2  # tokens arrive incrementally, not all at once
+
+
+def test_stream_generate_with_eos():
+    from specdec_tpu.serve.streaming import stream_generate
+
+    free = autoregressive_generate([3, 14, 15, 9], CFG, TARGET, max_gen_len=12,
+                                   eos_tokens_id=(), key=jax.random.key(0))
+    eos = free[4]
+    cb = ContinuousBatcher(CFG, TARGET, CFG, TARGET, num_slots=1, gamma=3,
+                           max_prompt_len=64, max_new_tokens=12,
+                           eos_tokens_id=eos)
+    streamed = [t for c in stream_generate(cb, [3, 14, 15, 9]) for t in c]
+    assert streamed == free[:free.index(eos) + 1]
