@@ -192,11 +192,23 @@ def _nf4_matmul_2d(x: jax.Array, packed: jax.Array, absmax: jax.Array,
 # Dispatch
 # ---------------------------------------------------------------------------
 
-def _use_pallas() -> bool:
+def _use_pallas(w) -> bool:
+    """Measured policy (docs/BENCHMARKS.md): XLA fuses the int8->bf16 convert
+    into the dot and avoids per-custom-call overhead (488 vs 327 tok/s on the
+    1.1B model), so INT8 defaults to the XLA path; XLA MATERIALIZES 4-bit
+    dequant (32 vs 122 tok/s), so NF4/FP4 default to the Pallas kernel.
+    SPECDEC_QUANT_KERNEL=pallas|xla forces one path for everything."""
+    import os
+    mode = os.getenv("SPECDEC_QUANT_KERNEL", "auto").lower()
+    if mode == "xla":
+        return False
     try:
-        return jax.default_backend() == "tpu"
+        on_tpu = jax.default_backend() == "tpu"
     except Exception:
         return False
+    if mode == "pallas":
+        return on_tpu
+    return on_tpu and not isinstance(w, Int8Weight)
 
 
 def quant_matmul(x: jax.Array, w: Union[Int8Weight, NF4Weight]) -> jax.Array:
@@ -208,7 +220,7 @@ def quant_matmul(x: jax.Array, w: Union[Int8Weight, NF4Weight]) -> jax.Array:
     lead = x.shape[:-1]
     K = x.shape[-1]
     x2 = x.reshape(-1, K)
-    if _use_pallas():
+    if _use_pallas(w):
         if isinstance(w, Int8Weight):
             out = _int8_matmul_2d(x2, w.q, w.scale)
         else:
@@ -216,6 +228,9 @@ def quant_matmul(x: jax.Array, w: Union[Int8Weight, NF4Weight]) -> jax.Array:
                                  fp4=isinstance(w, FP4Weight))
         out = out.astype(x.dtype)
     else:
-        wd = dequantize(w, jnp.float32)
-        out = (x2.astype(jnp.float32) @ wd).astype(x.dtype)
+        # XLA path: dequantize in the weight's natural compute dtype and let
+        # XLA fuse the convert into the dot where it can (also the oracle)
+        wd = dequantize(w, jnp.bfloat16 if x.dtype == jnp.bfloat16
+                        else jnp.float32)
+        out = (x2 @ wd).astype(x.dtype)
     return out.reshape(*lead, out.shape[-1])
