@@ -8,11 +8,17 @@ scores, no HBM score traffic — which matters as S grows (long-context
 serving), and masks by per-sequence cache offset exactly like the XLA path
 (key position <= query position).
 
-Grid: (batch, kv_head, S tiles); the S axis is innermost/sequential, carrying
-(m, l, acc) in VMEM scratch. GQA is handled by flattening the G query heads of
-one KV head into the query block's row axis — the MXU sees a [T*G, Dh] x
-[Dh, TS] matmul per tile. Masking is pure iota arithmetic (no gathers):
-query row r corresponds to absolute position offset_b + r // G.
+Layout: inputs are reshaped to [B*Hk, ...] so every block's trailing two dims
+are (tile, Dh) — Mosaic requires the last two block dims divisible by (8, 128)
+or equal to the array dims, which the natural [B, S, Hk, Dh] cache layout
+violates on the Hk axis (caught by real-TPU lowering; interpret mode does not
+enforce it). The transposes are small relative to the K/V stream.
+
+Grid: (B*Hk, S tiles); the S axis is innermost/sequential, carrying (m, l,
+acc) in VMEM scratch. GQA folds the G query heads of one KV head into the
+query block's row axis — the MXU sees a [T*G, Dh] x [Dh, TS] matmul per tile.
+Masking is iota arithmetic: query row r has absolute position
+offsets[bh // Hk] + r // G (offsets scalar-prefetched).
 
 Numerics match the XLA path to f32 tolerance (tests/test_decode_attention.py);
 `logit_softcap` models (gemma2) fall back to the XLA path.
@@ -30,9 +36,10 @@ _NEG_INF = -1e30
 
 
 def _kernel(off_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
-            *, G: int, ts: int, scale: float):
-    s = pl.program_id(2)
-    ns = pl.num_programs(2)
+            *, G: int, Hk: int, ts: int, scale: float):
+    bh = pl.program_id(0)
+    s = pl.program_id(1)
+    ns = pl.num_programs(1)
 
     @pl.when(s == 0)
     def _():
@@ -40,9 +47,9 @@ def _kernel(off_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0, 0]                      # [TGp, Dh]
-    k = k_ref[0, :, 0, :]                # [TS, Dh]
-    v = v_ref[0, :, 0, :]                # [TS, Dh]
+    q = q_ref[0]                         # [TGp, Dh]
+    k = k_ref[0]                         # [TS, Dh]
+    v = v_ref[0]
 
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
@@ -51,7 +58,7 @@ def _kernel(off_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
     TGp = q.shape[0]
     row = jax.lax.broadcasted_iota(jnp.int32, (TGp, ts), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (TGp, ts), 1)
-    q_pos = off_ref[0, 0] + row // G
+    q_pos = off_ref[bh // Hk] + row // G
     k_pos = s * ts + col
     mask = k_pos <= q_pos
     scores = jnp.where(mask, scores, _NEG_INF)
@@ -69,8 +76,8 @@ def _kernel(off_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
 
     @pl.when(s == ns - 1)
     def _():
-        o_ref[0, 0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-38)
-                       ).astype(o_ref.dtype)
+        o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-38)
+                    ).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("num_kv_heads", "tile_s"))
@@ -88,45 +95,46 @@ def flash_decode_attention(q: jax.Array, k_all: jax.Array, v_all: jax.Array,
     TGp = max(8, ((TG + 7) // 8) * 8)
     scale = 1.0 / (Dh ** 0.5)
 
-    # [B, T, Hk, G, Dh] → [B, Hk, T*G, Dh], padded rows
+    # [B, T, Hk, G, Dh] → [B*Hk, T*G, Dh], padded rows
     qr = q.reshape(B, T, Hk, G, Dh).transpose(0, 2, 1, 3, 4).reshape(
-        B, Hk, TG, Dh)
+        B * Hk, TG, Dh)
     if TGp != TG:
-        qr = jnp.pad(qr, ((0, 0), (0, 0), (0, TGp - TG), (0, 0)))
+        qr = jnp.pad(qr, ((0, 0), (0, TGp - TG), (0, 0)))
 
     Sp = ((S + tile_s - 1) // tile_s) * tile_s
     if Sp != S:
         # padded keys are masked out by k_pos <= q_pos (q_pos < S always)
         k_all = jnp.pad(k_all, ((0, 0), (0, Sp - S), (0, 0), (0, 0)))
         v_all = jnp.pad(v_all, ((0, 0), (0, Sp - S), (0, 0), (0, 0)))
+    # [B, S, Hk, Dh] → [B*Hk, S, Dh]
+    kr = k_all.transpose(0, 2, 1, 3).reshape(B * Hk, Sp, Dh)
+    vr = v_all.transpose(0, 2, 1, 3).reshape(B * Hk, Sp, Dh)
 
-    grid = (B, Hk, Sp // tile_s)
-    out = pl.pallas_call(
-        functools.partial(_kernel, G=G, ts=tile_s, scale=scale),
+    grid = (B * Hk, Sp // tile_s)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1), lambda b, h, s: (b, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, TGp, Dh), lambda b, h, s: (b, h, 0, 0),
+            pl.BlockSpec((1, TGp, Dh), lambda bh, s, off: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_s, 1, Dh), lambda b, h, s: (b, s, h, 0),
+            pl.BlockSpec((1, tile_s, Dh), lambda bh, s, off: (bh, s, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_s, 1, Dh), lambda b, h, s: (b, s, h, 0),
+            pl.BlockSpec((1, tile_s, Dh), lambda bh, s, off: (bh, s, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, TGp, Dh), lambda b, h, s: (b, h, 0, 0),
+        out_specs=pl.BlockSpec((1, TGp, Dh), lambda bh, s, off: (bh, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Hk, TGp, Dh), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((TGp, 1), jnp.float32),
             pltpu.VMEM((TGp, 1), jnp.float32),
             pltpu.VMEM((TGp, Dh), jnp.float32),
         ],
-        cost_estimate=pl.CostEstimate(
-            flops=4 * B * Hk * TGp * Sp * Dh,
-            bytes_accessed=2 * B * Sp * Hk * Dh * 2 + B * Hk * TGp * Dh * 4,
-            transcendentals=B * Hk * TGp * Sp),
-    )(offsets.astype(jnp.int32)[:, None], qr, k_all, v_all)
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, G=G, Hk=Hk, ts=tile_s, scale=scale),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B * Hk, TGp, Dh), q.dtype),
+    )(offsets.astype(jnp.int32), qr, kr, vr)
 
-    out = out[:, :, :TG].reshape(B, Hk, T, G, Dh).transpose(0, 2, 1, 3, 4)
+    out = out[:, :TG].reshape(B, Hk, T, G, Dh).transpose(0, 2, 1, 3, 4)
     return out.reshape(B, T, Hq, Dh)
