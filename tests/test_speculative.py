@@ -142,3 +142,17 @@ def test_first_target_false(models):
         PROMPT, CFG, target, CFG, target, gamma=4, max_gen_len=12,
         eos_tokens_id=(), first_target=False, key=jax.random.key(13))
     assert spec == ar
+
+
+def test_single_token_prompt(models):
+    """Shortest valid prompt: with first_target=True the two-token first
+    draft step reads buf[pos-2] = buf[0], which exists even for a one-token
+    prompt (first_target=False is documented to require prompt_len >= 2)."""
+    target, _ = models
+    ar = autoregressive_generate([7], CFG, target, max_gen_len=10,
+                                 eos_tokens_id=(), key=jax.random.key(20))
+    spec, rate = speculative_generate(
+        [7], CFG, target, CFG, target, gamma=3, max_gen_len=10,
+        eos_tokens_id=(), key=jax.random.key(21))
+    assert spec == ar
+    assert rate == 1.0
