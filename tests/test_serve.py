@@ -113,3 +113,24 @@ def test_stream_generate_with_eos():
                            eos_tokens_id=eos)
     streamed = [t for c in stream_generate(cb, [3, 14, 15, 9]) for t in c]
     assert streamed == free[:free.index(eos) + 1]
+
+
+def test_windows_per_sync_fused_matches_single():
+    """windows_per_sync > 1 (fused multi-window device program with early
+    exit) must produce identical outputs to per-window stepping."""
+    prompts = [[3, 14, 15, 9], [1, 1, 2, 3, 5], [27, 4]]
+    outs = {}
+    for wps in (1, 4):
+        cb = ContinuousBatcher(CFG, TARGET, CFG, TARGET, num_slots=2, gamma=3,
+                               max_prompt_len=64, max_new_tokens=10,
+                               eos_tokens_id=(), windows_per_sync=wps,
+                               key=jax.random.key(9))
+        ids = [cb.submit(p) for p in prompts]
+        done = cb.run()
+        outs[wps] = [done[r].output_ids for r in ids]
+    assert outs[1] == outs[4]
+    for o, p in zip(outs[4], prompts):
+        expect = autoregressive_generate(p, CFG, TARGET, max_gen_len=10,
+                                         eos_tokens_id=(),
+                                         key=jax.random.key(0))
+        assert o == expect
