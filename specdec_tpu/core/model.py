@@ -84,6 +84,9 @@ def _attention(cfg: ModelConfig, q, k_all, v_all, q_pos, k_len):
     Hk = cfg.num_kv_heads
     G = cfg.q_per_kv
     if (cfg.attention_impl == "flash" and cfg.logit_softcap == 0.0
+            and T * G <= 1024  # decode/verify blocks only: the kernel holds
+            # the whole [T*G, Dh] query block (+f32 scratch) in VMEM, so
+            # prefill-sized T must take the XLA path
             and jax.default_backend() == "tpu"):
         from specdec_tpu.ops.decode_attention import flash_decode_attention
         out = flash_decode_attention(q, k_all, v_all, q_pos[:, 0], Hk)
