@@ -149,10 +149,12 @@ def load_models(
         pass
 
     if quantization != "none":
-        target["params"] = quantize_params(target["params"], kind=quantization)
+        target["params"] = quantize_params(target["params"], kind=quantization,
+                                           fuse=True)
     if drafter is not None and drafter_quantization != "none":
         drafter["params"] = quantize_params(drafter["params"],
-                                            kind=drafter_quantization)
+                                            kind=drafter_quantization,
+                                            fuse=True)
 
     if mesh is not None:
         from specdec_tpu.parallel.mesh import shard_params
