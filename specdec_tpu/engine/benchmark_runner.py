@@ -49,6 +49,12 @@ class BenchmarkRunner:
         self.processor = GreedyProcessor()
         self._run_benchmark()
 
+    @staticmethod
+    def _suffixed(base: str, suffix: str) -> str:
+        if base.endswith(".json"):
+            return base[:-len(".json")] + f"_{suffix}.json"
+        return f"{base}_{suffix}.json"
+
     # ------------------------------------------------------------------ config
     def _load_config(self):
         self.gamma = int(os.getenv("GAMMA_VALUE", "4"))
@@ -82,12 +88,17 @@ class BenchmarkRunner:
             os.path.join(self.sharegpt_dir, "sharegpt_zh_38K_format.jsonl"),
         ]
 
-        base_output = os.getenv("OUTPUT_FILE", "benchmark_results.json")
-        if base_output.endswith(".json"):
-            self.output_file = base_output.replace(
-                ".json", f"_{self.inference_method_name}.json")
-        else:
-            self.output_file = f"{base_output}_{self.inference_method_name}.json"
+        # The reference README (ref README.md:141-145) documents FOUR result
+        # artifacts: combined <base>.json, per-method <base>_speculative.json /
+        # <base>_target.json, and <base>_gpu.json. (The reference *code*
+        # collapses them by overwriting the same method-suffixed file three
+        # times, ref engine/benchmark_runner.py:326-345 — a quirk; we write
+        # the documented set. docs/PARITY.md "result files".)
+        self.base_output_file = os.getenv("OUTPUT_FILE",
+                                          "benchmark_results.json")
+        suffix = {"target_ar": "target"}.get(self.inference_method_name,
+                                             self.inference_method_name)
+        self.output_file = self._suffixed(self.base_output_file, suffix)
 
         self.enable_monitor = os.getenv("ENABLE_GPU_MONITOR",
                                         "true").lower() == "true"
@@ -248,6 +259,7 @@ class BenchmarkRunner:
         print("\n" + "=" * 70)
         print("Benchmark Complete")
         combined = {}
+        method_results = spec_results or target_results
         if spec_results:
             print_benchmark_summary(spec_results)
             combined[spec_results.method] = spec_results.to_dict()
@@ -257,13 +269,17 @@ class BenchmarkRunner:
         if monitor_results:
             print_power_summary(monitor_results)
             monitor_results.save_json(
-                self.output_file.replace(".json", "_gpu.json"))
+                self._suffixed(self.base_output_file, "gpu"))
             combined["gpu_monitoring"] = monitor_results.to_dict()
 
-        if combined:
+        if method_results:
             with open(self.output_file, "w") as f:
+                json.dump(method_results.to_dict(), f, indent=2)
+        if combined:
+            with open(self.base_output_file, "w") as f:
                 json.dump(combined, f, indent=2)
-            print(f"results saved to {self.output_file}")
+            print(f"results saved to {self.base_output_file} "
+                  f"(+ {self.output_file})")
         self.spec_results = spec_results
         self.target_results = target_results
         self.monitor_results = monitor_results

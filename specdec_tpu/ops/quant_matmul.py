@@ -31,9 +31,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from specdec_tpu.quant.core import (
-    NF4_BLOCK, FP4Weight, Int8Weight, NF4Weight, _fp4_decode, _nf4_decode,
-    dequantize,
+    NF4_BLOCK, FP4Weight, Int4Weight, Int8Weight, NF4Weight, _fp4_decode,
+    _fp4_decode_bits, _int4_decode, _nf4_decode, dequantize,
 )
+
+# 4-bit codec name -> in-kernel nibble decode fn. "fp4" uses the f32
+# bit-assembly decode (_fp4_decode_bits) — chip-raced against the select
+# chain; "fp4_sel" keeps the select-chain variant for A/B measurement.
+_DECODERS = {
+    "nf4": _nf4_decode,
+    "fp4": _fp4_decode_bits,
+    "fp4_sel": _fp4_decode,
+    "int4": _int4_decode,
+}
 
 
 def _pad_to(x: jax.Array, axis: int, mult: int) -> jax.Array:
@@ -137,10 +147,10 @@ def _nf4_kernel(xe_ref, xo_ref, p_ref, am_ref, out_ref, acc_ref,
         out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_n", "tile_k", "fp4"))
+@functools.partial(jax.jit, static_argnames=("tile_n", "tile_k", "codec"))
 def _nf4_matmul_2d(x: jax.Array, packed: jax.Array, absmax: jax.Array,
                    tile_n: int = 256, tile_k: int = 512,
-                   fp4: bool = False) -> jax.Array:
+                   codec: str = "nf4") -> jax.Array:
     """x: [M, K]; packed: [K/2, N] u8; absmax: [K/64, N] f32.
 
     tile_k must be >= 8*NF4_BLOCK: the absmax tile's sublane dimension is
@@ -163,8 +173,7 @@ def _nf4_matmul_2d(x: jax.Array, packed: jax.Array, absmax: jax.Array,
 
     grid = (Np // tile_n, K2p // tk2)
     out = pl.pallas_call(
-        functools.partial(_nf4_kernel,
-                          decode=_fp4_decode if fp4 else _nf4_decode),
+        functools.partial(_nf4_kernel, decode=_DECODERS[codec]),
         grid=grid,
         in_specs=[
             pl.BlockSpec((Mp, tk2), lambda n, k: (0, k),
@@ -211,7 +220,9 @@ def _use_pallas(w) -> bool:
     return on_tpu and not isinstance(w, Int8Weight)
 
 
-def quant_matmul(x: jax.Array, w: Union[Int8Weight, NF4Weight]) -> jax.Array:
+def quant_matmul(x: jax.Array,
+                 w: Union[Int8Weight, NF4Weight, FP4Weight, Int4Weight],
+                 ) -> jax.Array:
     """x @ w for a quantized weight; x: [..., K] any float dtype.
 
     Fused Pallas kernel on TPU, XLA dequant fallback elsewhere. Output dtype
@@ -224,8 +235,9 @@ def quant_matmul(x: jax.Array, w: Union[Int8Weight, NF4Weight]) -> jax.Array:
         if isinstance(w, Int8Weight):
             out = _int8_matmul_2d(x2, w.q, w.scale)
         else:
-            out = _nf4_matmul_2d(x2, w.packed, w.absmax,
-                                 fp4=isinstance(w, FP4Weight))
+            codec = ("fp4" if isinstance(w, FP4Weight)
+                     else "int4" if isinstance(w, Int4Weight) else "nf4")
+            out = _nf4_matmul_2d(x2, w.packed, w.absmax, codec=codec)
         out = out.astype(x.dtype)
     else:
         # XLA path: dequantize in the weight's natural compute dtype and let

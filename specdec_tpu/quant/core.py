@@ -120,6 +120,59 @@ def quantize_nf4(w: jax.Array) -> NF4Weight:
     return NF4Weight(packed=packed, absmax=absmax)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Int4Weight:
+    """w[k, n] ≈ (code(k, n) − 8) * absmax[k // 64, n]   (absmax pre-divided
+    by 7 at quantize time, so decode is pure ``(c − 8) * absmax``).
+
+    Same packing as NF4Weight (low nibble = even k, high = odd k; blockwise
+    scale over 64-element K blocks). Codes live in 1..15 — a symmetric ±7
+    grid. This is the *throughput* 4-bit dtype: decode is ~3 VPU ops/weight
+    (sub, int→float, scale-mul) vs NF4's ~20-op select tree, which round-1
+    measured as the VPU-bound bottleneck of the 4-bit decode path
+    (docs/BENCHMARKS.md). Accuracy sits between FP4 and NF4 on normal weights.
+    """
+
+    packed: jax.Array
+    absmax: jax.Array
+
+    @property
+    def shape(self):
+        p = self.packed.shape
+        return (*p[:-2], p[-2] * 2, p[-1])
+
+    @property
+    def out_dtype(self):
+        return jnp.bfloat16
+
+
+def quantize_int4(w: jax.Array) -> Int4Weight:
+    """Blockwise symmetric INT4: q = clip(round(w/absmax·7), −7, 7) + 8."""
+    if w.ndim >= 3:  # chunk stacked weights (see quantize_nf4)
+        slices = [quantize_int4(w[i]) for i in range(w.shape[0])]
+        return Int4Weight(
+            packed=jnp.stack([s.packed for s in slices]),
+            absmax=jnp.stack([s.absmax for s in slices]))
+    w = w.astype(jnp.float32)
+    *lead, K, N = w.shape
+    assert K % NF4_BLOCK == 0, f"K={K} not divisible by {NF4_BLOCK}"
+    blocks = w.reshape(*lead, K // NF4_BLOCK, NF4_BLOCK, N)
+    absmax = jnp.max(jnp.abs(blocks), axis=-2)
+    q = jnp.round(blocks / jnp.maximum(absmax[..., None, :], 1e-12) * 7.0)
+    code = (jnp.clip(q, -7, 7) + 8).astype(jnp.uint8)
+    code = code.reshape(*lead, K, N)
+    lo = code[..., 0::2, :]
+    hi = code[..., 1::2, :]
+    packed = (lo | (hi << 4)).astype(jnp.uint8)
+    return Int4Weight(packed=packed, absmax=absmax / 7.0)
+
+
+def _int4_decode(code: jax.Array) -> jax.Array:
+    """4-bit symmetric code → float value (±7 grid; scale lives in absmax)."""
+    return (code.astype(jnp.int32) - 8).astype(jnp.float32)
+
+
 def _nf4_decode(code: jax.Array) -> jax.Array:
     """4-bit code → codebook value via a balanced select tree (gatherless —
     TPU-friendly inside Pallas kernels too)."""
@@ -152,6 +205,15 @@ def dequantize(w: Any, dtype=jnp.float32) -> jax.Array:
         scaled = vals.reshape(*lead, K // NF4_BLOCK, NF4_BLOCK, N) * \
             w.absmax[..., None, :]
         return scaled.reshape(*lead, K, N).astype(dtype)
+    if isinstance(w, Int4Weight):
+        lo = _int4_decode(w.packed & 0xF)
+        hi = _int4_decode(w.packed >> 4)
+        *lead, K2, N = w.packed.shape
+        vals = jnp.stack([lo, hi], axis=-2).reshape(*lead, K2 * 2, N)
+        K = K2 * 2
+        scaled = vals.reshape(*lead, K // NF4_BLOCK, NF4_BLOCK, N) * \
+            w.absmax[..., None, :]
+        return scaled.reshape(*lead, K, N).astype(dtype)
     if isinstance(w, NF4Weight):
         lo = _nf4_decode(w.packed & 0xF)
         hi = _nf4_decode(w.packed >> 4)
@@ -168,7 +230,7 @@ def dequantize(w: Any, dtype=jnp.float32) -> jax.Array:
 def qmatmul(x: jax.Array, w: Any, precision=None) -> jax.Array:
     """x @ w for dense or quantized w. Dense → MXU einsum; quantized → fused
     Pallas kernel on TPU, XLA dequant fallback elsewhere."""
-    if isinstance(w, (Int8Weight, NF4Weight, FP4Weight)):
+    if isinstance(w, (Int8Weight, NF4Weight, FP4Weight, Int4Weight)):
         from specdec_tpu.ops.quant_matmul import quant_matmul
         return quant_matmul(x, w)
     return jnp.matmul(x, w, precision=precision)
@@ -190,7 +252,7 @@ def quantize_params(params, kind: str = "int8",
     fusion exact, not an approximation.
     """
     fn = {"int8": quantize_int8, "nf4": quantize_nf4,
-          "fp4": quantize_fp4}[kind]
+          "fp4": quantize_fp4, "int4": quantize_int4}[kind]
     out = dict(params)
     layers = dict(params["layers"])
     if fuse and "wq" in layers:
@@ -259,6 +321,21 @@ def _fp4_decode(code: jax.Array) -> jax.Array:
     base = jnp.where(e == 1, 1.0, jnp.where(e == 2, 2.0, 4.0))
     mag = jnp.where(e == 0, half_m, base * (1.0 + half_m))
     return jnp.where(s == 1, -mag, mag)
+
+
+def _fp4_decode_bits(code: jax.Array) -> jax.Array:
+    """FP4 decode by assembling f32 *bits* directly: the e2m1 nibble is a
+    mini-float, so for e>=1 the f32 value is exactly ``(z + 252) << 22`` with
+    ``z = e:m`` (exponent 126+e, mantissa m<<22); e==0 subnormals {0, 0.5}
+    are 0x3F000000·m. Sign ORs into bit 31. One integer select chain, one
+    bitcast, no float compares — the VPU-lean variant of ``_fp4_decode``."""
+    from jax import lax
+    c = code.astype(jnp.int32)
+    s31 = (c & 8) << 28
+    norm = (((c & 7) + 252) << 22) | s31
+    sub = (c & 1) * 0x3F000000 | s31
+    bits = jnp.where((c & 6) == 0, sub, norm)
+    return lax.bitcast_convert_type(bits, jnp.float32)
 
 
 def quantize_fp4(w: jax.Array) -> FP4Weight:

@@ -223,6 +223,12 @@ def speculative_generate(
     key = key if key is not None else jax.random.key(0)
     eos_ids = normalize_eos(eos_tokens_id)
     prompt, n = pad_to_bucket(inputs, pad_token_id)
+    if not first_target and n < 2:
+        # the drafter's catch-up fold reads buf[pos-2] at window start; with
+        # first_target the prefill token makes pos >= prompt_len+1, but
+        # without it a 1-token prompt would read before the buffer
+        raise ValueError(
+            f"first_target=False requires a prompt of >= 2 tokens (got {n})")
 
     buf, n_gen, accepted, speculated, accept_log = _spec_generate(
         drafter_cfg, drafter_params, target_cfg, target_params,

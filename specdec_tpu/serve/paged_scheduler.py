@@ -208,7 +208,10 @@ class PagedContinuousBatcher(ContinuousBatcher):
             self._table_row(self._slot_pages_d[slot]),
             self.processor, self.eos_ids, self._next_key())
         self.slot_req[slot] = req
-        self._slot_first_token[slot] = None
+        # TTFT stamps at the admission prefill that commits tok0 (see
+        # ContinuousBatcher._admit); the sync keeps the stamp honest
+        _ = np.asarray(self.state.pos)
+        self._slot_first_token[slot] = _time.time()
         from specdec_tpu.engine.metrics import RequestMetrics
         req.metrics = RequestMetrics(prompt_tokens=n,
                                      start_time=req.submit_time)

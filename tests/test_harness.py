@@ -55,9 +55,11 @@ def test_benchmark_runner_speculative(bench_env, monkeypatch):
     assert res.total_tokens > 0
     assert res.overall_throughput > 0
 
-    out = bench_env / "results_speculative.json"
-    assert out.exists()
-    data = json.loads(out.read_text())
+    # the reference README's documented 4-artifact set (ref README.md:141-145):
+    # combined <base>.json + per-method + _gpu
+    combined_file = bench_env / "results.json"
+    assert combined_file.exists()
+    data = json.loads(combined_file.read_text())
     assert "speculative" in data
     d = data["speculative"]
     for key in ("total_requests", "overall_throughput", "avg_ttft",
@@ -68,7 +70,11 @@ def test_benchmark_runner_speculative(bench_env, monkeypatch):
                 "acceptance_rate"):
         assert key in req
     assert "gpu_monitoring" in data
-    gpu_file = bench_env / "results_speculative_gpu.json"
+    method_file = bench_env / "results_speculative.json"
+    assert method_file.exists()
+    # per-method file holds the method results ALONE (documented contract)
+    assert json.loads(method_file.read_text())["method"] == "speculative"
+    gpu_file = bench_env / "results_gpu.json"
     assert gpu_file.exists()
 
 
@@ -82,8 +88,10 @@ def test_benchmark_runner_target_ar_batch(bench_env, monkeypatch):
     res = runner.target_results
     assert res.total_requests == 2
     assert res.total_batches == 1  # one batch of 2 (count mode caps exactly)
-    out = bench_env / "results_target_ar.json"
+    out = bench_env / "results_target.json"  # README name (not _target_ar)
     assert out.exists()
+    assert json.loads(out.read_text())["method"] == "target_ar"
+    assert (bench_env / "results.json").exists()
 
 
 def test_benchmark_runner_ngram(bench_env, monkeypatch):
@@ -183,3 +191,33 @@ def test_gamma_tuner_model():
     assert s_hi > s_lo > 0
     # expensive drafter can make speculation not worth it
     assert expected_speedup(0.5, 4, cost_ratio=1.0) < 1.0
+
+
+def test_vllm_compat_pp_folds_into_tp_with_warning():
+    """pipeline_parallel_size is not silently dropped (ref forwards it to
+    vLLM, engine/vllm_engine.py:45,94): the native engine folds the stages
+    into tensor parallelism and warns."""
+    import warnings
+
+    from specdec_tpu.engine.vllm_compat import VLLMConfig, VLLMEngineManager
+    cfg = VLLMConfig(model="synthetic:tiny", dtype="float32",
+                     pipeline_parallel_size=2)
+    mgr = VLLMEngineManager(cfg)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert mgr.initialize(num_slots=2)
+    assert any("pipeline_parallel_size" in str(x.message) for x in w)
+
+
+def test_vllm_compat_initialize_honors_max_tokens(monkeypatch):
+    from specdec_tpu.engine.vllm_compat import VLLMConfig, VLLMEngineManager
+    cfg = VLLMConfig(model="synthetic:tiny", dtype="float32")
+    mgr = VLLMEngineManager(cfg)
+    assert mgr.initialize(num_slots=2, max_new_tokens=37)
+    assert mgr.batcher.default_max_new == 37
+    # env MAX_TOKENS (the reference harness's generation-length var) is the
+    # default when the caller does not pass one
+    monkeypatch.setenv("MAX_TOKENS", "19")
+    mgr2 = VLLMEngineManager(cfg)
+    assert mgr2.initialize(num_slots=2)
+    assert mgr2.batcher.default_max_new == 19

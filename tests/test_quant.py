@@ -182,7 +182,7 @@ def test_fp4_pallas_kernel_matches_oracle_interpret():
     qw = quantize_fp4(w)
     with pltpu.force_tpu_interpret_mode():
         out = _nf4_matmul_2d(x, qw.packed, qw.absmax, tile_n=128, tile_k=512,
-                             fp4=True)
+                             codec="fp4")
     oracle = (x @ dequantize(qw)).astype(jnp.bfloat16)
     np.testing.assert_allclose(np.asarray(out, dtype=np.float32),
                                np.asarray(oracle, dtype=np.float32),
@@ -193,6 +193,63 @@ def test_fp4_model_end_to_end():
     from specdec_tpu.sampling.base_decoding import autoregressive_generate
     params = init_params(CFG, jax.random.key(0), scale=0.3)
     qp = quantize_params(params, kind="fp4", fuse=True)
+    out = autoregressive_generate([3, 5, 9], CFG, qp, max_gen_len=6,
+                                  eos_tokens_id=(), key=jax.random.key(1))
+    assert len(out) == 6
+
+
+def test_int4_roundtrip_and_fallback():
+    from specdec_tpu.quant.core import Int4Weight, quantize_int4
+
+    w = jnp.asarray(RNG.normal(size=(128, 64)).astype(np.float32))
+    qw = quantize_int4(w)
+    assert isinstance(qw, Int4Weight)
+    deq = np.asarray(dequantize(qw))
+    # every dequantized value sits on the symmetric +-7 grid x blockwise scale
+    am = np.repeat(np.asarray(qw.absmax), 64, axis=0)  # absmax/7 per element
+    normed = deq / np.maximum(am, 1e-12)
+    assert np.abs(normed - np.round(normed)).max() < 1e-5
+    assert np.abs(np.round(normed)).max() <= 7
+    # nearest projection: error bounded by half a grid step (absmax/7/2)
+    err = np.abs(deq - np.asarray(w))
+    assert (err <= am / 2 + 1e-6).all()
+
+    x = jnp.asarray(RNG.normal(size=(3, 128)).astype(np.float32))
+    out = qmatmul(x, qw)
+    oracle = x @ dequantize(qw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(oracle),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_int4_pallas_kernel_matches_oracle_interpret():
+    from specdec_tpu.quant.core import quantize_int4
+    x = jnp.asarray(RNG.normal(size=(2, 128)).astype(np.float32))
+    w = jnp.asarray(RNG.normal(size=(128, 96)).astype(np.float32))
+    qw = quantize_int4(w)
+    with pltpu.force_tpu_interpret_mode():
+        out = _nf4_matmul_2d(x, qw.packed, qw.absmax, tile_n=128, tile_k=512,
+                             codec="int4")
+    oracle = (x @ dequantize(qw)).astype(jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(out, dtype=np.float32),
+                               np.asarray(oracle, dtype=np.float32),
+                               rtol=2e-2, atol=2e-1)
+
+
+def test_fp4_bit_assembly_decode_matches_select_chain():
+    """_fp4_decode_bits (f32 bit assembly) must equal _fp4_decode on all 16
+    nibbles — it is the default in-kernel FP4 decoder."""
+    from specdec_tpu.quant.core import _fp4_decode, _fp4_decode_bits
+    codes = jnp.arange(16, dtype=jnp.uint8)
+    np.testing.assert_array_equal(np.asarray(_fp4_decode(codes)),
+                                  np.asarray(_fp4_decode_bits(codes)))
+
+
+def test_int4_model_end_to_end():
+    from specdec_tpu.sampling.base_decoding import autoregressive_generate
+    from specdec_tpu.quant.core import Int4Weight
+    params = init_params(CFG, jax.random.key(0), scale=0.3)
+    qp = quantize_params(params, kind="int4", fuse=True)
+    assert isinstance(qp["layers"]["wqkv"], Int4Weight)
     out = autoregressive_generate([3, 5, 9], CFG, qp, max_gen_len=6,
                                   eos_tokens_id=(), key=jax.random.key(1))
     assert len(out) == 6

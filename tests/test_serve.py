@@ -134,3 +134,22 @@ def test_windows_per_sync_fused_matches_single():
                                          eos_tokens_id=(),
                                          key=jax.random.key(0))
         assert o == expect
+
+
+def test_ttft_stamped_at_admission_not_window_sync():
+    """The first generated token is committed by the admission prefill, so
+    the TTFT stamp must land there — with windows_per_sync>1 the next host
+    sync can be many windows later (round-1 overstated TTFT)."""
+    import time
+
+    from specdec_tpu.serve.scheduler import ContinuousBatcher, Request
+
+    params = init_params(CFG, jax.random.key(0), scale=0.3)
+    b = ContinuousBatcher(CFG, params, CFG, params, num_slots=2, gamma=2,
+                          max_prompt_len=16, max_new_tokens=8,
+                          windows_per_sync=8, eos_tokens_id=())
+    req = Request(request_id=0, prompt_ids=[3, 5, 9, 11], max_new_tokens=8,
+                  submit_time=time.time())
+    b._admit(0, req)
+    assert b._slot_first_token[0] is not None
+    assert b._slot_first_token[0] >= req.submit_time

@@ -156,3 +156,18 @@ def test_single_token_prompt(models):
         eos_tokens_id=(), key=jax.random.key(21))
     assert spec == ar
     assert rate == 1.0
+
+
+def test_first_target_false_requires_two_token_prompt():
+    import pytest as _pytest
+
+    params = init_params(CFG, jax.random.key(0), scale=0.3)
+    with _pytest.raises(ValueError, match="first_target=False"):
+        speculative_generate([7], CFG, params, CFG, params, gamma=2,
+                             max_gen_len=4, eos_tokens_id=(),
+                             first_target=False, key=jax.random.key(1))
+    # >=2 tokens works
+    out, _ = speculative_generate([7, 9], CFG, params, CFG, params, gamma=2,
+                                  max_gen_len=4, eos_tokens_id=(),
+                                  first_target=False, key=jax.random.key(1))
+    assert len(out) == 4
