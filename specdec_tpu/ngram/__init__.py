@@ -3,4 +3,7 @@ from specdec_tpu.ngram.storage import (
     NGramStorage,
     OneLevelNGramStorage,
 )
-from specdec_tpu.ngram.assisted import ngram_assisted_speculative_generate
+from specdec_tpu.ngram.assisted import (
+    batch_ngram_assisted_generate,
+    ngram_assisted_speculative_generate,
+)

@@ -77,6 +77,168 @@ def _nasd_verify(cfg: ModelConfig, params, cache, last_tok, drafts,
     return n, samples, fillers, cache.with_length(new_len)
 
 
+@partial(jax.jit, static_argnames=("cfg", "processor", "gamma", "filler_k"),
+         donate_argnames=("cache",))
+def _nasd_batch_verify(cfg: ModelConfig, params, cache, last_toks, drafts,
+                       eff, active, processor: LogitsProcessor, gamma: int,
+                       filler_k: int, key):
+    """One verify window for a whole batch: ONE target forward over
+    [B, gamma+1], vectorized exact-match acceptance, per-seq cache-length
+    rollback. Finished slots (``active`` False) advance nothing.
+
+    Returns (n[B], samples[B, gamma+1], fillers[B, gamma+1, filler_k],
+    new_cache). The sequential reference has no batched NASD at all (ref:
+    ngram_assisted/ngram_assisted.py is bs=1); this is the batch extension
+    the harness uses so the ngram method scales with batch size.
+    """
+    B = last_toks.shape[0]
+    t_in = jnp.concatenate([last_toks[:, None], drafts], axis=1)  # [B, g+1]
+    logits, cache = forward_step(cfg, params, t_in, cache)
+    p = processor(logits)                                  # [B, g+1, V]
+
+    keys = jax.random.split(key, B * (gamma + 1))
+    flat = p.reshape(B * (gamma + 1), -1)
+    samples = jax.vmap(lambda pi, ki: processor.sample(pi, ki))(flat, keys)
+    samples = samples.reshape(B, gamma + 1).astype(jnp.int32)
+
+    idx = jnp.arange(gamma)
+    mismatch = (samples[:, :gamma] != drafts) & (idx[None, :] < eff[:, None])
+    n = jnp.where(jnp.any(mismatch, axis=1), jnp.argmax(mismatch, axis=1), eff)
+
+    fillers = lax.top_k(p, filler_k)[1].astype(jnp.int32)  # [B, g+1, k]
+    advance = jnp.where(active, n + 1, 0)
+    new_len = cache.length - (gamma + 1) + advance
+    return n, samples, fillers, cache.with_length(new_len)
+
+
+def batch_ngram_assisted_generate(
+    prompt_ids: Sequence[Sequence[int]],
+    ngramstorage: INgramStorage,
+    target_cfg: ModelConfig,
+    target_params,
+    gamma: int = 5,
+    filler_top_k: int = 3,
+    logits_processor: Optional[LogitsProcessor] = None,
+    gen_len: int = 100,
+    eos_tokens_id=1,
+    pad_token_id: int = 0,
+    stop_if_unknown: bool = False,
+    key: Optional[jax.Array] = None,
+    first_token_callback=None,
+) -> Tuple[List[List[int]], List[float]]:
+    """Batched NASD: host drafts per sequence from the SHARED n-gram store,
+    ONE jitted verify per window for the whole batch.
+
+    Reference semantics per sequence are those of
+    ``ngram_assisted_speculative_generate`` (exact-match acceptance, no
+    residual, filler updates); the only divergence is update interleaving —
+    store updates land window-by-window round-robin across the batch instead
+    of sequence-by-sequence (documented in docs/PARITY.md). Under greedy
+    sampling each sequence still equals its AR oracle regardless of store
+    contents, since emitted tokens are always the target's own samples.
+
+    Returns (per-seq generated token lists, per-seq acceptance rates).
+    """
+    from specdec_tpu.engine.batch_engine import batch_prefill
+
+    processor = logits_processor or GreedyProcessor()
+    key = key if key is not None else jax.random.key(0)
+    eos_set = set(normalize_eos(eos_tokens_id))
+    gamma = int(gamma)
+    filler_k = max(1, int(filler_top_k))
+    B = len(prompt_ids)
+
+    prompts_host = [[int(t) for t in p] for p in prompt_ids]
+    from specdec_tpu.engine.batch_engine import _pad_batch
+    prompts, lens = _pad_batch(prompts_host, pad_token_id)
+
+    state = batch_prefill(None, None, target_cfg, target_params, prompts,
+                          lens, int(gen_len), gamma, processor, True, False,
+                          tuple(sorted(eos_set)), jax.random.fold_in(key, 0))
+    cache = state.t_cache
+    buf0 = np.asarray(state.buf)
+    pos0 = np.asarray(state.pos)
+    total_len = np.asarray(state.total_len)
+    finished0 = np.asarray(state.finished)
+
+    tokens: List[List[int]] = []
+    for b in range(B):
+        ngramstorage.initialize(prompts_host[b])
+        tokens.append(buf0[b, :pos0[b]].tolist())
+        tok0 = tokens[b][-1]
+        ngramstorage.update(prompts_host[b], [tok0])
+        if first_token_callback is not None:
+            first_token_callback(b)
+    finished = [bool(finished0[b]) for b in range(B)]
+    accepted = np.zeros(B, np.int64)
+    speculated = np.zeros(B, np.int64)
+
+    window = 0
+    while not all(finished):
+        drafts_arr = np.zeros((B, gamma), np.int32)
+        eff_arr = np.zeros((B,), np.int32)
+        last_arr = np.zeros((B,), np.int32)
+        drafts_host: List[List[int]] = [[] for _ in range(B)]
+        for b in range(B):
+            if finished[b]:
+                continue
+            last_arr[b] = tokens[b][-1]
+            corrected_gamma = min(gamma, int(total_len[b]) - len(tokens[b]) - 1)
+            ctx = list(tokens[b])
+            eff = corrected_gamma
+            for k in range(corrected_gamma):
+                tok, known = ngramstorage.next_token(ctx)
+                if not known and stop_if_unknown:
+                    eff = k
+                    break
+                drafts_host[b].append(tok)
+                ctx.append(tok)
+            eff_arr[b] = eff
+            speculated[b] += eff
+            drafts_arr[b, :len(drafts_host[b])] = drafts_host[b][:gamma]
+
+        active = jnp.asarray([not f for f in finished])
+        n, samples, fillers, cache = _nasd_batch_verify(
+            target_cfg, target_params, cache, jnp.asarray(last_arr),
+            jnp.asarray(drafts_arr), jnp.asarray(eff_arr), active, processor,
+            gamma, filler_k, jax.random.fold_in(key, window))
+        n = np.asarray(n)
+        samples = np.asarray(samples)
+        fillers = np.asarray(fillers)
+
+        for b in range(B):
+            if finished[b]:
+                continue
+            nb = int(n[b])
+            accepted[b] += nb
+            committed = drafts_host[b][:nb] + [int(samples[b, nb])]
+            ctx = list(tokens[b])
+            for i, tok in enumerate(committed):
+                ngramstorage.update(ctx, [tok])
+                if filler_top_k > 1:
+                    ngramstorage.update(ctx, [int(t) for t in fillers[b, i]])
+                ctx.append(tok)
+            for tok in committed:
+                tokens[b].append(tok)
+                if tok in eos_set:
+                    finished[b] = True
+                    break
+            if len(tokens[b]) >= int(total_len[b]):
+                finished[b] = True
+        # device cache lengths advanced n+1 inside the verify; host commits
+        # may stop early at EOS — freeze those slots by marking finished (the
+        # stale cache rows past pos are never read again)
+        window += 1
+        if window > gen_len + 2:
+            break
+
+    plen = [len(p) for p in prompts_host]
+    outputs = [tokens[b][plen[b]:] for b in range(B)]
+    rates = [float(accepted[b]) / float(speculated[b]) if speculated[b] > 0
+             else 0.0 for b in range(B)]
+    return outputs, rates
+
+
 def ngram_assisted_speculative_generate(
     inputs: Sequence[int],
     ngramstorage: INgramStorage,

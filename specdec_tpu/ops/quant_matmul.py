@@ -11,11 +11,15 @@ hand-written kernel:
 - grid (N-tiles, K-tiles), K innermost; f32 accumulator in VMEM scratch
 - INT8: int8 tile → bf16 in VMEM → MXU dot → scale applied once at the last
   K step (per-output-channel scale factors out of the reduction)
-- NF4: packed uint8 tile → nibble split → gatherless 4-level select-tree
-  codebook decode → blockwise absmax scaling (inside the reduction — absmax
-  varies along K) → MXU dot. The activation is pre-split into even/odd
-  reduction columns outside the kernel so nibble unpacking never needs
-  row interleaving on the VPU.
+- 4-bit (NF4/FP4/INT4): int32 words of 8 nibbles along K (quant/core.py
+  ``_pack_nibbles``) → 8 native 32-bit shift+mask extractions per word →
+  codec decode (select tree / bit assembly / subtract) → blockwise absmax
+  scaling (inside the reduction — absmax varies along K) → 8 MXU dots
+  against the activation pre-split 8 ways (x[:, j::8]) outside the kernel.
+  Round 1 stored nibbles in uint8 pairs; Mosaic emulates sub-word int
+  vectors, which made the u8→i32 unpack the measured bottleneck
+  (108-122 tok/s). The int32-word pipeline keeps every decode op in native
+  32-bit lanes.
 
 Non-TPU backends (tests, CPU mesh) fall back to XLA dequant-then-matmul, which
 doubles as the correctness oracle.
@@ -116,8 +120,16 @@ def _int8_matmul_2d(x: jax.Array, q: jax.Array, scale: jax.Array,
 # NF4
 # ---------------------------------------------------------------------------
 
-def _nf4_kernel(xe_ref, xo_ref, p_ref, am_ref, out_ref, acc_ref,
+def _nf4_kernel(xs_ref, p_ref, am_ref, out_ref, acc_ref,
                 *, decode=_nf4_decode):
+    """int32-word 4-bit dequant+matmul tile.
+
+    p_ref holds native 32-bit words of 8 nibbles each (quant/core.py
+    ``_pack_nibbles``); the whole decode pipeline is 32-bit vector shifts,
+    masks and converts — no uint8 loads anywhere, which round 1 measured as
+    the 4-bit bottleneck (Mosaic emulates sub-word int vectors). The
+    activation arrives pre-split 8 ways (xs_ref[j] = x[:, j::8]) so nibble j
+    of word r multiplies x column 8r+j with no in-kernel interleave."""
     k = pl.program_id(1)
     nk = pl.num_programs(1)
 
@@ -125,22 +137,18 @@ def _nf4_kernel(xe_ref, xo_ref, p_ref, am_ref, out_ref, acc_ref,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    packed = p_ref[:].astype(jnp.int32)
-    # absmax rows cover 64 real k's = 32 packed rows (even and odd k of a
-    # packed row share a 64-block) → element-repeat rows via broadcast+reshape
-    # (pltpu.repeat is tile-semantics, NOT element-repeat)
+    packed = p_ref[:]                                           # [TK8, TN] i32
+    # absmax rows cover 64 real k's = 8 packed words → element-repeat rows via
+    # broadcast+reshape (pltpu.repeat is tile-semantics, NOT element-repeat)
     rep = p_ref.shape[0] // am_ref.shape[0]
     am = am_ref[:]
     am = jnp.broadcast_to(am[:, None, :], (am.shape[0], rep, am.shape[1]))
-    am = am.reshape(p_ref.shape[0], am_ref.shape[1])            # [TK2, TN]
-    w_lo = decode(packed & 0xF) * am
-    w_hi = decode(packed >> 4) * am
-    acc_ref[:] += jnp.dot(xe_ref[:].astype(jnp.bfloat16),
-                          w_lo.astype(jnp.bfloat16),
-                          preferred_element_type=jnp.float32)
-    acc_ref[:] += jnp.dot(xo_ref[:].astype(jnp.bfloat16),
-                          w_hi.astype(jnp.bfloat16),
-                          preferred_element_type=jnp.float32)
+    am = am.reshape(p_ref.shape[0], am_ref.shape[1])            # [TK8, TN]
+    for j in range(8):
+        nib = (packed >> (4 * j)) & 0xF
+        w = (decode(nib) * am).astype(jnp.bfloat16)
+        acc_ref[:] += jnp.dot(xs_ref[j].astype(jnp.bfloat16), w,
+                              preferred_element_type=jnp.float32)
 
     @pl.when(k == nk - 1)
     def _():
@@ -149,38 +157,37 @@ def _nf4_kernel(xe_ref, xo_ref, p_ref, am_ref, out_ref, acc_ref,
 
 @functools.partial(jax.jit, static_argnames=("tile_n", "tile_k", "codec"))
 def _nf4_matmul_2d(x: jax.Array, packed: jax.Array, absmax: jax.Array,
-                   tile_n: int = 256, tile_k: int = 512,
+                   tile_n: int = 512, tile_k: int = 1024,
                    codec: str = "nf4") -> jax.Array:
-    """x: [M, K]; packed: [K/2, N] u8; absmax: [K/64, N] f32.
+    """x: [M, K]; packed: [K/8, N] int32 nibble words; absmax: [K/64, N] f32.
 
     tile_k must be >= 8*NF4_BLOCK: the absmax tile's sublane dimension is
     tile_k/64 and Mosaic requires sublane counts divisible by 8 (caught by
     real-TPU lowering; interpret mode does not enforce it)."""
     M, K = x.shape
-    K2, N = packed.shape
-    assert K == K2 * 2 and K % NF4_BLOCK == 0
+    K8, N = packed.shape
+    assert K == K8 * 8 and K % NF4_BLOCK == 0
     assert tile_k % NF4_BLOCK == 0
     assert tile_k >= 8 * NF4_BLOCK, (
         f"tile_k={tile_k} gives absmax sublane {tile_k // NF4_BLOCK} < 8")
-    tk2 = tile_k // 2
+    tk8 = tile_k // 8
 
     Mp = max(8, ((M + 7) // 8) * 8)
-    xe = _pad_to(_pad_to(x[:, 0::2], 0, Mp), 1, tk2)
-    xo = _pad_to(_pad_to(x[:, 1::2], 0, Mp), 1, tk2)
-    packed = _pad_to(_pad_to(packed, 0, tk2), 1, tile_n)
+    packed = _pad_to(_pad_to(packed, 0, tk8), 1, tile_n)
     absmax = _pad_to(_pad_to(absmax, 0, tile_k // NF4_BLOCK), 1, tile_n)
-    K2p, Np = packed.shape
+    K8p, Np = packed.shape
+    # activation split: xs[j] = x[:, j::8], zero-padded to the padded K grid
+    x = _pad_to(_pad_to(x, 0, Mp), 1, K8p * 8)[:Mp]
+    xs = x.reshape(Mp, K8p, 8).transpose(2, 0, 1)               # [8, Mp, K8p]
 
-    grid = (Np // tile_n, K2p // tk2)
+    grid = (Np // tile_n, K8p // tk8)
     out = pl.pallas_call(
         functools.partial(_nf4_kernel, decode=_DECODERS[codec]),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((Mp, tk2), lambda n, k: (0, k),
+            pl.BlockSpec((8, Mp, tk8), lambda n, k: (0, 0, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Mp, tk2), lambda n, k: (0, k),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tk2, tile_n), lambda n, k: (k, n),
+            pl.BlockSpec((tk8, tile_n), lambda n, k: (k, n),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_k // NF4_BLOCK, tile_n), lambda n, k: (k, n),
                          memory_space=pltpu.VMEM),
@@ -190,10 +197,10 @@ def _nf4_matmul_2d(x: jax.Array, packed: jax.Array, absmax: jax.Array,
         out_shape=jax.ShapeDtypeStruct((Mp, Np), jnp.bfloat16),
         scratch_shapes=[pltpu.VMEM((Mp, tile_n), jnp.float32)],
         cost_estimate=pl.CostEstimate(
-            flops=4 * Mp * (K2p * 2) * Np,
-            bytes_accessed=Mp * K2p * 2 * 2 + K2p * Np + Mp * Np * 2,
+            flops=2 * Mp * (K8p * 8) * Np,
+            bytes_accessed=Mp * K8p * 8 * 2 + K8p * Np * 4 + Mp * Np * 2,
             transcendentals=0),
-    )(xe[:Mp], xo[:Mp], packed, absmax)
+    )(xs, packed, absmax)
     return out[:M, :N]
 
 

@@ -40,6 +40,33 @@ NF4_CODEBOOK = np.asarray([
 NF4_BLOCK = 64  # absmax block length along the reduction dimension
 
 
+def _pack_nibbles(code: jax.Array) -> jax.Array:
+    """codes [..., K, N] (values 0..15) -> int32 words [..., K//8, N].
+
+    Word r holds codes for k = 8r+j at bits [4j, 4j+4). This is the storage
+    format the Pallas kernels consume: one native 32-bit vector load yields 8
+    weights via shift+mask, with no sub-word (uint8) vector emulation anywhere
+    in the decode pipeline — round 1 measured the uint8 nibble path as the
+    4-bit bottleneck (docs/BENCHMARKS.md: NF4 108 tok/s vs INT8 488)."""
+    *lead, K, N = code.shape
+    assert K % 8 == 0
+    c = code.astype(jnp.int32).reshape(*lead, K // 8, 8, N)
+    shifts = jnp.arange(0, 32, 4, dtype=jnp.int32).reshape(
+        *([1] * len(lead)), 1, 8, 1)
+    return jnp.sum(c << shifts, axis=-2).astype(jnp.int32)
+
+
+def _unpack_nibbles(packed: jax.Array) -> jax.Array:
+    """int32 words [..., K8, N] -> codes [..., K8*8, N] int32 (inverse of
+    ``_pack_nibbles``; the XLA fallback / oracle path)."""
+    *lead, K8, N = packed.shape
+    p = packed[..., :, None, :]
+    shifts = jnp.arange(0, 32, 4, dtype=jnp.int32).reshape(
+        *([1] * len(lead)), 1, 8, 1)
+    codes = (p >> shifts) & 0xF
+    return codes.reshape(*lead, K8 * 8, N)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class Int8Weight:
@@ -62,8 +89,9 @@ class Int8Weight:
 class NF4Weight:
     """w[k, n] ≈ codebook[code(k, n)] * absmax[k // 64, n].
 
-    packed: [..., K//2, N] uint8 — low nibble = even k, high nibble = odd k;
-    absmax: [..., K//64, N] f32. K (the reduction dim) must be divisible by 64.
+    packed: [..., K//8, N] int32 — word r holds codes for k = 8r+j at bits
+    [4j, 4j+4) (see ``_pack_nibbles``); absmax: [..., K//64, N] f32. K (the
+    reduction dim) must be divisible by 64.
     """
 
     packed: jax.Array
@@ -72,7 +100,7 @@ class NF4Weight:
     @property
     def shape(self):
         p = self.packed.shape
-        return (*p[:-2], p[-2] * 2, p[-1])
+        return (*p[:-2], p[-2] * 8, p[-1])
 
     @property
     def out_dtype(self):
@@ -113,11 +141,8 @@ def quantize_nf4(w: jax.Array) -> NF4Weight:
     cb = jnp.asarray(NF4_CODEBOOK)
     mids = (cb[1:] + cb[:-1]) / 2.0
     code = jnp.searchsorted(mids, normed)
-    code = code.reshape(*lead, K, N).astype(jnp.uint8)
-    lo = code[..., 0::2, :]
-    hi = code[..., 1::2, :]
-    packed = (lo | (hi << 4)).astype(jnp.uint8)
-    return NF4Weight(packed=packed, absmax=absmax)
+    code = code.reshape(*lead, K, N)
+    return NF4Weight(packed=_pack_nibbles(code), absmax=absmax)
 
 
 @jax.tree_util.register_dataclass
@@ -126,7 +151,7 @@ class Int4Weight:
     """w[k, n] ≈ (code(k, n) − 8) * absmax[k // 64, n]   (absmax pre-divided
     by 7 at quantize time, so decode is pure ``(c − 8) * absmax``).
 
-    Same packing as NF4Weight (low nibble = even k, high = odd k; blockwise
+    Same packing as NF4Weight (int32 words of 8 codes along K; blockwise
     scale over 64-element K blocks). Codes live in 1..15 — a symmetric ±7
     grid. This is the *throughput* 4-bit dtype: decode is ~3 VPU ops/weight
     (sub, int→float, scale-mul) vs NF4's ~20-op select tree, which round-1
@@ -140,7 +165,7 @@ class Int4Weight:
     @property
     def shape(self):
         p = self.packed.shape
-        return (*p[:-2], p[-2] * 2, p[-1])
+        return (*p[:-2], p[-2] * 8, p[-1])
 
     @property
     def out_dtype(self):
@@ -160,12 +185,8 @@ def quantize_int4(w: jax.Array) -> Int4Weight:
     blocks = w.reshape(*lead, K // NF4_BLOCK, NF4_BLOCK, N)
     absmax = jnp.max(jnp.abs(blocks), axis=-2)
     q = jnp.round(blocks / jnp.maximum(absmax[..., None, :], 1e-12) * 7.0)
-    code = (jnp.clip(q, -7, 7) + 8).astype(jnp.uint8)
-    code = code.reshape(*lead, K, N)
-    lo = code[..., 0::2, :]
-    hi = code[..., 1::2, :]
-    packed = (lo | (hi << 4)).astype(jnp.uint8)
-    return Int4Weight(packed=packed, absmax=absmax / 7.0)
+    code = (jnp.clip(q, -7, 7) + 8).reshape(*lead, K, N)
+    return Int4Weight(packed=_pack_nibbles(code), absmax=absmax / 7.0)
 
 
 def _int4_decode(code: jax.Array) -> jax.Array:
@@ -192,38 +213,25 @@ def _nf4_decode(code: jax.Array) -> jax.Array:
     return jnp.where((c & 8) != 0, stage[1], stage[0])
 
 
+def _dequant4(w: Any, decode, dtype) -> jax.Array:
+    """Decode a 4-bit container's int32 words to the full matrix."""
+    vals = decode(_unpack_nibbles(w.packed))
+    *lead, K, N = vals.shape
+    scaled = vals.reshape(*lead, K // NF4_BLOCK, NF4_BLOCK, N) * \
+        w.absmax[..., None, :]
+    return scaled.reshape(*lead, K, N).astype(dtype)
+
+
 def dequantize(w: Any, dtype=jnp.float32) -> jax.Array:
     """Materialize a quantized weight (reference path + test oracle)."""
     if isinstance(w, Int8Weight):
         return (w.q.astype(jnp.float32) * w.scale).astype(dtype)
     if isinstance(w, FP4Weight):
-        lo = _fp4_decode(w.packed & 0xF)
-        hi = _fp4_decode(w.packed >> 4)
-        *lead, K2, N = w.packed.shape
-        vals = jnp.stack([lo, hi], axis=-2).reshape(*lead, K2 * 2, N)
-        K = K2 * 2
-        scaled = vals.reshape(*lead, K // NF4_BLOCK, NF4_BLOCK, N) * \
-            w.absmax[..., None, :]
-        return scaled.reshape(*lead, K, N).astype(dtype)
+        return _dequant4(w, _fp4_decode, dtype)
     if isinstance(w, Int4Weight):
-        lo = _int4_decode(w.packed & 0xF)
-        hi = _int4_decode(w.packed >> 4)
-        *lead, K2, N = w.packed.shape
-        vals = jnp.stack([lo, hi], axis=-2).reshape(*lead, K2 * 2, N)
-        K = K2 * 2
-        scaled = vals.reshape(*lead, K // NF4_BLOCK, NF4_BLOCK, N) * \
-            w.absmax[..., None, :]
-        return scaled.reshape(*lead, K, N).astype(dtype)
+        return _dequant4(w, _int4_decode, dtype)
     if isinstance(w, NF4Weight):
-        lo = _nf4_decode(w.packed & 0xF)
-        hi = _nf4_decode(w.packed >> 4)
-        *lead, K2, N = w.packed.shape
-        vals = jnp.stack([lo, hi], axis=-2)                 # [..., K/2, 2, N]
-        vals = vals.reshape(*lead, K2 * 2, N)
-        K = K2 * 2
-        scaled = vals.reshape(*lead, K // NF4_BLOCK, NF4_BLOCK, N) * \
-            w.absmax[..., None, :]
-        return scaled.reshape(*lead, K, N).astype(dtype)
+        return _dequant4(w, _nf4_decode, dtype)
     return jnp.asarray(w, dtype=dtype)
 
 
@@ -295,7 +303,7 @@ FP4_VALUES = np.asarray(
 @dataclasses.dataclass
 class FP4Weight:
     """w[k, n] ~ fp4(code) * absmax[k//64, n] / 6 (same packing as NF4Weight:
-    low nibble = even k, high nibble = odd k; blockwise absmax)."""
+    int32 words of 8 codes along K; blockwise absmax)."""
 
     packed: jax.Array
     absmax: jax.Array
@@ -303,7 +311,7 @@ class FP4Weight:
     @property
     def shape(self):
         p = self.packed.shape
-        return (*p[:-2], p[-2] * 2, p[-1])
+        return (*p[:-2], p[-2] * 8, p[-1])
 
     @property
     def out_dtype(self):
@@ -357,9 +365,5 @@ def quantize_fp4(w: jax.Array) -> FP4Weight:
     mids = (grid[1:] + grid[:-1]) / 2.0
     mag_code = jnp.searchsorted(mids, mags)             # 0..7
     sign = (scaled < 0).astype(jnp.int32)
-    code = (sign << 3) | mag_code
-    code = code.reshape(*lead, K, N).astype(jnp.uint8)
-    lo = code[..., 0::2, :]
-    hi = code[..., 1::2, :]
-    packed = (lo | (hi << 4)).astype(jnp.uint8)
-    return FP4Weight(packed=packed, absmax=absmax / 6.0)
+    code = ((sign << 3) | mag_code).reshape(*lead, K, N)
+    return FP4Weight(packed=_pack_nibbles(code), absmax=absmax / 6.0)

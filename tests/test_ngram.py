@@ -89,6 +89,46 @@ def test_nasd_greedy_equivalence():
     assert 0.0 <= rate <= 1.0
 
 
+def test_batched_nasd_greedy_equivalence():
+    """Batched NASD (one jitted verify per window for the whole batch) must
+    emit each sequence's greedy-AR output — exact-match acceptance makes every
+    committed token a target sample, independent of shared-store contents."""
+    from specdec_tpu.ngram.assisted import batch_ngram_assisted_generate
+
+    params = init_params(CFG, jax.random.key(0), scale=0.4)
+    prompts = [[3, 14, 15, 9, 2, 6, 14, 15],
+               [7, 1, 4, 4, 20],
+               [11, 30, 2, 17, 9, 28, 5]]
+    oracles = [autoregressive_generate(p, CFG, params, max_gen_len=18,
+                                       eos_tokens_id=(), key=jax.random.key(1))
+               for p in prompts]
+    store = NGramStorage(n=3, vocab_size=VOCAB)
+    outs, rates = batch_ngram_assisted_generate(
+        prompts, store, CFG, params, gamma=4, filler_top_k=3, gen_len=18,
+        eos_tokens_id=(), key=jax.random.key(2))
+    assert outs == oracles
+    assert all(0.0 <= r <= 1.0 for r in rates)
+
+
+def test_batched_nasd_eos_and_ragged_lengths():
+    """EOS inside a window stops that sequence only; remaining sequences keep
+    generating to their caps."""
+    from specdec_tpu.ngram.assisted import batch_ngram_assisted_generate
+
+    params = init_params(CFG, jax.random.key(0), scale=0.4)
+    prompts = [[3, 14, 15, 9], [7, 1, 4, 4, 20, 2, 6]]
+    ar0 = autoregressive_generate(prompts[0], CFG, params, max_gen_len=16,
+                                  eos_tokens_id=(), key=jax.random.key(1))
+    eos = ar0[5]  # force an early stop for seq 0 at its 6th token
+    store = NGramStorage(n=3, vocab_size=VOCAB)
+    outs, _ = batch_ngram_assisted_generate(
+        prompts, store, CFG, params, gamma=3, filler_top_k=2, gen_len=16,
+        eos_tokens_id=eos, key=jax.random.key(2))
+    assert outs[0] == ar0[:6]  # stopped at the EOS token, inclusive
+    assert eos not in outs[1] or outs[1].index(eos) == len(outs[1]) - 1
+    assert len(outs[1]) <= 16
+
+
 def test_nasd_stop_if_unknown_and_store_growth():
     params = init_params(CFG, jax.random.key(0), scale=0.4)
     prompt = [3, 14, 15, 9, 2, 6]

@@ -32,8 +32,8 @@ def test_int8_roundtrip_error():
 def test_nf4_roundtrip_error():
     w = jnp.asarray(RNG.normal(size=(128, 64)).astype(np.float32))
     qw = quantize_nf4(w)
-    assert qw.packed.dtype == jnp.uint8
-    assert qw.packed.shape == (64, 64)
+    assert qw.packed.dtype == jnp.int32
+    assert qw.packed.shape == (16, 64)
     assert qw.absmax.shape == (2, 64)
     deq = np.asarray(dequantize(qw))
     # every dequantized value must be codebook[c] * blockwise absmax

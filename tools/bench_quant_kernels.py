@@ -107,13 +107,17 @@ def main():
             t0 = time.time()
             float(runner(x, qw, 1))  # compile + barrier
             log(f"  {vname}/{sname}: compile {time.time() - t0:.1f}s")
-            r1, r2 = 50, 150
-            t0 = time.time()
-            float(runner(x, qw, r1))
-            t1 = time.time() - t0
-            t0 = time.time()
-            float(runner(x, qw, r2))
-            t2 = time.time() - t0
+            # tunnel dispatch noise is tens of ms: use a 2000-call
+            # differential and best-of-3 on each leg so kernel time dominates
+            r1, r2 = 200, 2200
+            t1 = t2 = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                float(runner(x, qw, r1))
+                t1 = min(t1, time.time() - t0)
+                t0 = time.time()
+                float(runner(x, qw, r2))
+                t2 = min(t2, time.time() - t0)
             per_call_ms = (t2 - t1) / (r2 - r1) * 1000
             per_shape[sname] = per_call_ms
             log(f"  {vname}/{sname} [{K}x{N}]: {per_call_ms:.4f} ms/call")
