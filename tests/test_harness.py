@@ -141,6 +141,36 @@ def test_monitor_thread_collects_and_stop_returns_results():
     assert results.power_source == "fake"
 
 
+def test_jax_device_sampler_degrades_gracefully():
+    """JaxDeviceSampler must never raise on hosts without telemetry and must
+    always label its sources; the TDP power estimate is the guaranteed floor
+    (ref: engine/gpu_monitor.py:360-402 reads nvidia-smi; no TPU analog)."""
+    from specdec_tpu.engine.monitor import JaxDeviceSampler, default_sampler
+
+    s = JaxDeviceSampler()
+    assert "tdp_estimate" in s.source  # power is always estimate-labeled
+    snap = s.sample()
+    assert snap is not None and snap.power_w >= 0.0
+    assert 0.0 <= snap.memory_pct <= 100.0
+    assert snap.utilization_pct >= 0.0
+    # memory/utilization only claimed as sources when the probe found them
+    if "jax_memory_stats" not in s.source:
+        assert snap.memory_pct == 0.0
+    d = default_sampler()
+    assert hasattr(d, "sample") and hasattr(d, "source")
+
+
+def test_monitor_results_memory_fields_serialized():
+    r = MonitorResults()
+    r.snapshots = [PowerSnapshot(0.0, 100.0, memory_pct=40.0),
+                   PowerSnapshot(1.0, 100.0, memory_pct=60.0)]
+    assert abs(r.avg_memory_pct - 50.0) < 1e-9
+    assert abs(r.peak_memory_pct - 60.0) < 1e-9
+    d = r.to_dict()
+    assert d["avg_memory_pct"] == r.avg_memory_pct
+    assert d["peak_memory_pct"] == r.peak_memory_pct
+
+
 def test_vllm_compat_config_from_env(monkeypatch):
     from specdec_tpu.engine.vllm_compat import (
         VLLMConfig, create_vllm_config_from_env, is_vllm_available,
