@@ -10,8 +10,12 @@ measured quantity (~0.75 at gamma=8 under multinomial sampling: deep layers
 still flip ~24% of draft positions), matching the >70% operating point real
 drafter/target pairs are tuned to (BASELINE.md).
 
-Measured on the v5e chip (see CLAUDE.md): AR 294-301 tok/s (3.3 ms/token
-against a ~2.9 ms forward floor), speculative 553-593 tok/s at gamma=8.
+The headline runs at the QUANTIZED operating point (BASELINE.md north star:
+>=2.2x tokens/s over the *quantized* AR baseline; VERDICT round-1 weak #1):
+both target and drafter weights are INT4 (blockwise symmetric, int32
+nibble-word packing, fused Pallas dequant-matmul — ops/quant_matmul.py), and
+``vs_baseline`` is speculative-INT4 over AR-INT4. Set BENCH_QUANT=none|int8|
+nf4|fp4 to rerun at other operating points (tools/bench_e2e_quant.py sweeps).
 
 Measurement notes for this environment (.claude/skills/verify/SKILL.md): only
 numpy materialization is a reliable timing barrier (the generate wrappers
@@ -20,8 +24,7 @@ service but cached across processes; the persistent jax compile cache must
 stay OFF.
 
 Prints exactly ONE JSON line to stdout:
-  {"metric": "spec_decode_tokens_per_sec", "value": N, "unit": "tokens/s",
-   "vs_baseline": speedup_over_AR}
+  {"metric": "...", "value": N, "unit": "tokens/s", "vs_baseline": speedup}
 Everything else goes to stderr.
 """
 import json
@@ -32,31 +35,32 @@ import time
 import jax
 import jax.numpy as jnp
 
+DRAFT_LAYERS = 4
+V = 32000
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
+def build_pair(quant: str = "none", tail_damp: float = None):
+    """Build the LayerSkip 1.1B target + 4-layer prefix drafter, optionally
+    weight-quantized (both models — the quantized operating point).
+
+    Returns (t_cfg, d_cfg, target_params, drafter_params)."""
     import numpy as np
 
     from specdec_tpu.core.config import ModelConfig
     from specdec_tpu.core.model import init_params
-    from specdec_tpu.sampling.base_decoding import autoregressive_generate
-    from specdec_tpu.sampling.processors import MultinomialProcessor
-    from specdec_tpu.sampling.speculative import speculative_generate
 
-    log(f"backend={jax.default_backend()} devices={jax.devices()}")
-
-    V = 32000
     t_cfg = ModelConfig(
         vocab_size=V, hidden_size=2048, intermediate_size=5632,
         num_layers=22, num_heads=32, num_kv_heads=4, head_dim=64,
         max_position_embeddings=2048, rope_theta=10000.0,
         dtype=jnp.bfloat16,
     )
-    DRAFT_LAYERS = 4
-    TAIL_DAMP = float(os.getenv("BENCH_TAIL_DAMP", "0.08"))
+    if tail_damp is None:
+        tail_damp = float(os.getenv("BENCH_TAIL_DAMP", "0.08"))
     d_cfg = t_cfg.replace(num_layers=DRAFT_LAYERS)
 
     t0 = time.time()
@@ -65,7 +69,7 @@ def main():
     # refinement from layers 4..21 (sweep: damp 0.3 -> acc 0.49, 0.15 -> 0.73,
     # 0.08 -> 0.76-0.83 measured at gamma 5-8)
     mask = (jnp.arange(t_cfg.num_layers) >= DRAFT_LAYERS).astype(jnp.float32)
-    sv = (1.0 - mask) + mask * TAIL_DAMP
+    sv = (1.0 - mask) + mask * tail_damp
     layers = dict(base["layers"])
     layers["wo"] = (base["layers"]["wo"].astype(jnp.float32)
                     * sv[:, None, None]).astype(jnp.bfloat16)
@@ -73,61 +77,94 @@ def main():
                         * sv[:, None, None]).astype(jnp.bfloat16)
     target = dict(base)
     target["layers"] = layers
+
+    if quant != "none":
+        from specdec_tpu.quant import quantize_params
+        target = quantize_params(target, kind=quant, fuse=True)
+
+    # drafter: the target's first DRAFT_LAYERS layers (quantized containers
+    # are layer-stacked pytrees, so the slice works identically to dense)
     drafter = dict(target)
-    drafter["layers"] = jax.tree.map(lambda x: x[:DRAFT_LAYERS], layers)
-    _ = np.asarray(target["embed"][0, :1])  # real barrier
+    drafter["layers"] = jax.tree.map(lambda x: x[:DRAFT_LAYERS],
+                                     target["layers"])
+    probe = target["embed"] if quant == "none" else target["embed"]
+    _ = np.asarray(probe[0, :1])  # real barrier
     log(f"params built in {time.time() - t0:.1f}s (target 22L/2048d ~1.1B "
-        f"bf16, layer-skip drafter {DRAFT_LAYERS}L, tail damp {TAIL_DAMP})")
+        f"quant={quant}, layer-skip drafter {DRAFT_LAYERS}L, "
+        f"tail damp {tail_damp})")
+    return t_cfg, d_cfg, target, drafter
+
+
+def measure_ar(t_cfg, target, prompt, gen, proc, reps=4):
+    from specdec_tpu.sampling.base_decoding import autoregressive_generate
+    t0 = time.time()
+    ar = autoregressive_generate(prompt, t_cfg, target, max_gen_len=gen,
+                                 logits_processor=proc,
+                                 eos_tokens_id=(), key=jax.random.key(1))
+    log(f"AR compile+run: {time.time() - t0:.1f}s")
+    times = []
+    for i in range(reps):
+        t0 = time.time()
+        ar = autoregressive_generate(prompt, t_cfg, target, max_gen_len=gen,
+                                     logits_processor=proc,
+                                     eos_tokens_id=(),
+                                     key=jax.random.key(2 + i))
+        times.append(time.time() - t0)
+    best = min(times)
+    tps = len(ar) / best
+    log(f"AR: {len(ar)} tokens, best of {reps}: {best:.2f}s = "
+        f"{tps:.1f} tok/s ({best / len(ar) * 1000:.1f} ms/tok)")
+    return tps
+
+
+def measure_spec(d_cfg, drafter, t_cfg, target, prompt, gen, gamma, proc,
+                 reps=4):
+    from specdec_tpu.sampling.speculative import speculative_generate
+    t0 = time.time()
+    spec, rate = speculative_generate(
+        prompt, d_cfg, drafter, t_cfg, target, gamma=gamma, max_gen_len=gen,
+        logits_processor=proc, eos_tokens_id=(), key=jax.random.key(100))
+    log(f"SPEC compile+run: {time.time() - t0:.1f}s")
+    times, rates = [], []
+    for i in range(reps):
+        t0 = time.time()
+        spec, rate = speculative_generate(
+            prompt, d_cfg, drafter, t_cfg, target, gamma=gamma,
+            max_gen_len=gen, logits_processor=proc, eos_tokens_id=(),
+            key=jax.random.key(101 + i))
+        times.append(time.time() - t0)
+        rates.append(rate)
+    best = min(times)
+    tps = len(spec) / best
+    acc = sum(rates) / len(rates)
+    log(f"SPEC(gamma={gamma}): {len(spec)} tokens, best of {reps}: "
+        f"{best:.2f}s = {tps:.1f} tok/s, acceptance={acc:.3f}, "
+        f"tokens/window={acc * gamma + 1:.2f}")
+    return tps, acc
+
+
+def main():
+    import numpy as np
+
+    from specdec_tpu.sampling.processors import MultinomialProcessor
+
+    log(f"backend={jax.default_backend()} devices={jax.devices()}")
+
+    quant = os.getenv("BENCH_QUANT", "int4")
+    t_cfg, d_cfg, target, drafter = build_pair(quant=quant)
 
     proc = MultinomialProcessor(temperature=1.0)
     rng = np.random.default_rng(0)
     prompt = [int(t) for t in rng.integers(1, V, size=60)]  # bucket 64
     GEN = 256        # amortizes the ~40 ms fixed dispatch+prefill cost
     GAMMA = int(os.getenv("BENCH_GAMMA", "8"))
-    REPS = 4
 
-    # --- AR baseline -------------------------------------------------------
-    t0 = time.time()
-    ar = autoregressive_generate(prompt, t_cfg, target, max_gen_len=GEN,
-                                 logits_processor=proc,
-                                 eos_tokens_id=(), key=jax.random.key(1))
-    log(f"AR compile+run: {time.time() - t0:.1f}s")
-    ar_times = []
-    for i in range(REPS):
-        t0 = time.time()
-        ar = autoregressive_generate(prompt, t_cfg, target, max_gen_len=GEN,
-                                     logits_processor=proc,
-                                     eos_tokens_id=(), key=jax.random.key(2 + i))
-        ar_times.append(time.time() - t0)
-    ar_time = min(ar_times)
-    ar_tps = len(ar) / ar_time
-    log(f"AR: {len(ar)} tokens, best of {REPS}: {ar_time:.2f}s = "
-        f"{ar_tps:.1f} tok/s ({ar_time / len(ar) * 1000:.1f} ms/tok)")
-
-    # --- speculative -------------------------------------------------------
-    t0 = time.time()
-    spec, rate = speculative_generate(
-        prompt, d_cfg, drafter, t_cfg, target, gamma=GAMMA, max_gen_len=GEN,
-        logits_processor=proc, eos_tokens_id=(), key=jax.random.key(100))
-    log(f"SPEC compile+run: {time.time() - t0:.1f}s")
-    spec_times, rates = [], []
-    for i in range(REPS):
-        t0 = time.time()
-        spec, rate = speculative_generate(
-            prompt, d_cfg, drafter, t_cfg, target, gamma=GAMMA,
-            max_gen_len=GEN, logits_processor=proc, eos_tokens_id=(),
-            key=jax.random.key(101 + i))
-        spec_times.append(time.time() - t0)
-        rates.append(rate)
-    spec_time = min(spec_times)
-    spec_tps = len(spec) / spec_time
-    acc = sum(rates) / len(rates)
-    log(f"SPEC(gamma={GAMMA}): {len(spec)} tokens, best of {REPS}: "
-        f"{spec_time:.2f}s = {spec_tps:.1f} tok/s, acceptance={acc:.3f}, "
-        f"tokens/window={acc * GAMMA + 1:.2f}")
+    ar_tps = measure_ar(t_cfg, target, prompt, GEN, proc)
+    spec_tps, acc = measure_spec(d_cfg, drafter, t_cfg, target, prompt, GEN,
+                                 GAMMA, proc)
 
     speedup = spec_tps / ar_tps if ar_tps > 0 else 0.0
-    log(f"speedup vs AR: {speedup:.2f}x")
+    log(f"speedup vs {quant} AR: {speedup:.2f}x")
 
     from specdec_tpu.engine.gamma_tuner import best_gamma
     cost_ratio = DRAFT_LAYERS / t_cfg.num_layers  # bandwidth-bound approx
@@ -136,8 +173,10 @@ def main():
         f"ratio {cost_ratio:.2f} -> predicted best gamma {g_opt} "
         f"(predicted speedup {s_pred:.2f}x)")
 
+    metric = ("spec_decode_tokens_per_sec" if quant == "none"
+              else f"spec_decode_{quant}_tokens_per_sec")
     print(json.dumps({
-        "metric": "spec_decode_tokens_per_sec",
+        "metric": metric,
         "value": round(spec_tps, 2),
         "unit": "tokens/s",
         "vs_baseline": round(speedup, 3),

@@ -30,6 +30,10 @@ SYNTHETIC_PRESETS: Dict[str, dict] = {
     "llama-1b": dict(vocab_size=32000, hidden_size=2048, intermediate_size=5632,
                      num_layers=22, num_heads=32, num_kv_heads=4, head_dim=64,
                      max_position_embeddings=2048),
+    "llama-8b": dict(vocab_size=128256, hidden_size=4096,
+                     intermediate_size=14336, num_layers=32, num_heads=32,
+                     num_kv_heads=8, head_dim=128,
+                     max_position_embeddings=8192, rope_theta=500000.0),
     "llama-160m": dict(vocab_size=32000, hidden_size=768, intermediate_size=2048,
                        num_layers=12, num_heads=12, num_kv_heads=12, head_dim=64,
                        max_position_embeddings=2048),
@@ -79,13 +83,20 @@ class SyntheticTokenizer:
         return {"input_ids": self.encode(text)}
 
 
-def _synthetic(name: str, dtype) -> Dict[str, Any]:
+def _synthetic(name: str, dtype, quantization: str = "none") -> Dict[str, Any]:
     preset = name.split(":", 1)[1] if ":" in name else name
     if preset not in SYNTHETIC_PRESETS:
         raise ValueError(f"unknown synthetic preset {preset!r}; "
                          f"choose from {sorted(SYNTHETIC_PRESETS)}")
     cfg = ModelConfig(dtype=dtype, **SYNTHETIC_PRESETS[preset])
     seed = abs(hash(preset)) % (2 ** 31)
+    if quantization != "none":
+        # build directly into quantized form, one layer at a time — an 8B
+        # bf16 stack (~16 GB) would fill v5e HBM before quantization
+        from specdec_tpu.quant import init_quantized_params
+        params = init_quantized_params(cfg, jax.random.key(seed),
+                                       kind=quantization, scale=0.02)
+        return {"cfg": cfg, "params": params, "quantized": quantization}
     params = init_params(cfg, jax.random.key(seed), scale=0.02)
     return {"cfg": cfg, "params": params}
 
@@ -102,9 +113,9 @@ def load_models(
     bundle shape as the reference loader (ref: model_loader.py:131-140)."""
     from specdec_tpu.quant import quantize_params
 
-    def load_one(path):
+    def load_one(path, quant="none"):
         if path.startswith("synthetic"):
-            return _synthetic(path, dtype), None
+            return _synthetic(path, dtype, quantization=quant), None
         # encoder-decoder checkpoints route to the codec model family
         from transformers import AutoConfig
         hf_cfg = AutoConfig.from_pretrained(path)
@@ -123,10 +134,11 @@ def load_models(
         cfg, params = load_hf_model(path, dtype=dtype)
         return {"cfg": cfg, "params": params}, path
 
-    target, tok_path = load_one(target_model_path)
+    target, tok_path = load_one(target_model_path, quant=quantization)
     drafter = None
     if drafter_model_path:
-        drafter, d_tok_path = load_one(drafter_model_path)
+        drafter, d_tok_path = load_one(drafter_model_path,
+                                       quant=drafter_quantization)
         tok_path = tok_path or d_tok_path
 
     if tok_path:
@@ -148,10 +160,13 @@ def load_models(
     except Exception:
         pass
 
-    if quantization != "none":
+    # synthetic models are built directly quantized (load_one); checkpoint
+    # models quantize post-load here
+    if quantization != "none" and "quantized" not in target:
         target["params"] = quantize_params(target["params"], kind=quantization,
                                            fuse=True)
-    if drafter is not None and drafter_quantization != "none":
+    if (drafter is not None and drafter_quantization != "none"
+            and "quantized" not in drafter):
         drafter["params"] = quantize_params(drafter["params"],
                                             kind=drafter_quantization,
                                             fuse=True)

@@ -36,10 +36,17 @@ _NEG_INF = -1e30
 
 
 def _kernel(off_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
-            *, G: int, Hk: int, ts: int, scale: float):
+            *, G: int, Hk: int, ts: int, T: int, scale: float):
     bh = pl.program_id(0)
     s = pl.program_id(1)
     ns = pl.num_programs(1)
+    # last S tile holding any live key for this sequence: the max query
+    # position is offsets[b] + T - 1 and keys beyond it are fully masked.
+    # Tiles past it are skipped (their K/V blocks were never fetched either —
+    # the index_map clamps to this tile, and the pipeline elides same-block
+    # DMAs), making per-step attention cost track the LIVE length, not the
+    # static cache capacity (VERDICT round-1 weak #4: 705→672 tok/s decay).
+    last = (off_ref[bh // Hk] + (T - 1)) // ts
 
     @pl.when(s == 0)
     def _():
@@ -47,32 +54,34 @@ def _kernel(off_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0]                         # [TGp, Dh]
-    k = k_ref[0]                         # [TS, Dh]
-    v = v_ref[0]
+    @pl.when(s <= last)
+    def _():
+        q = q_ref[0]                         # [TGp, Dh]
+        k = k_ref[0]                         # [TS, Dh]
+        v = v_ref[0]
 
-    scores = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale          # [TGp, TS]
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale      # [TGp, TS]
 
-    TGp = q.shape[0]
-    row = jax.lax.broadcasted_iota(jnp.int32, (TGp, ts), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (TGp, ts), 1)
-    q_pos = off_ref[bh // Hk] + row // G
-    k_pos = s * ts + col
-    mask = k_pos <= q_pos
-    scores = jnp.where(mask, scores, _NEG_INF)
+        TGp = q.shape[0]
+        row = jax.lax.broadcasted_iota(jnp.int32, (TGp, ts), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (TGp, ts), 1)
+        q_pos = off_ref[bh // Hk] + row // G
+        k_pos = s * ts + col
+        mask = k_pos <= q_pos
+        scores = jnp.where(mask, scores, _NEG_INF)
 
-    m_prev = m_ref[:]                    # [TGp, 1]
-    m_cur = jnp.max(scores, axis=-1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(scores - m_new)          # [TGp, TS]
-    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    m_ref[:] = m_new
+        m_prev = m_ref[:]                    # [TGp, 1]
+        m_cur = jnp.max(scores, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new)          # [TGp, TS]
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_ref[:] = m_new
 
     @pl.when(s == ns - 1)
     def _():
@@ -110,6 +119,13 @@ def flash_decode_attention(q: jax.Array, k_all: jax.Array, v_all: jax.Array,
     kr = k_all.transpose(0, 2, 1, 3).reshape(B * Hk, Sp, Dh)
     vr = v_all.transpose(0, 2, 1, 3).reshape(B * Hk, Sp, Dh)
 
+    # K/V tile index clamps to the sequence's last live tile: grid steps past
+    # it revisit the same block, which the pipeline recognizes and does not
+    # re-fetch — HBM traffic tracks live length, not cache capacity
+    def _kv_index(bh, s, off):
+        last = (off[bh // Hk] + (T - 1)) // tile_s
+        return (bh, jnp.minimum(s, last), 0)
+
     grid = (B * Hk, Sp // tile_s)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -117,9 +133,9 @@ def flash_decode_attention(q: jax.Array, k_all: jax.Array, v_all: jax.Array,
         in_specs=[
             pl.BlockSpec((1, TGp, Dh), lambda bh, s, off: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_s, Dh), lambda bh, s, off: (bh, s, 0),
+            pl.BlockSpec((1, tile_s, Dh), _kv_index,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_s, Dh), lambda bh, s, off: (bh, s, 0),
+            pl.BlockSpec((1, tile_s, Dh), _kv_index,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, TGp, Dh), lambda bh, s, off: (bh, 0, 0),
@@ -131,7 +147,7 @@ def flash_decode_attention(q: jax.Array, k_all: jax.Array, v_all: jax.Array,
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, G=G, Hk=Hk, ts=tile_s, scale=scale),
+        functools.partial(_kernel, G=G, Hk=Hk, ts=tile_s, T=T, scale=scale),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B * Hk, TGp, Dh), q.dtype),
     )(offsets.astype(jnp.int32), qr, kr, vr)

@@ -247,22 +247,10 @@ def qmatmul(x: jax.Array, w: Any, precision=None) -> jax.Array:
 _QUANTIZABLE = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 
 
-def quantize_params(params, kind: str = "int8",
-                    quantize_lm_head: bool = True, fuse: bool = False):
-    """Quantize the transformer-layer projection weights of a params pytree
-    (embeddings and norms stay dense, like bitsandbytes' default).
-
-    ``fuse=True`` concatenates q/k/v into one ``wqkv`` weight and gate/up into
-    one ``w_gateup`` along the output dim before quantizing — one fused kernel
-    launch instead of three/two per block (launch overhead is the measured
-    bottleneck of the quantized decode path). core/model.py splits the fused
-    outputs; per-output-channel (INT8) and per-column-block (NF4) scales make
-    fusion exact, not an approximation.
-    """
-    fn = {"int8": quantize_int8, "nf4": quantize_nf4,
-          "fp4": quantize_fp4, "int4": quantize_int4}[kind]
-    out = dict(params)
-    layers = dict(params["layers"])
+def _quantize_layer_dict(layers: dict, fn, fuse: bool) -> dict:
+    """Quantize one layer-dict (stacked or single-layer) in place-by-copy;
+    the shared worker of ``quantize_params`` and ``init_quantized_params``."""
+    layers = dict(layers)
     if fuse and "wq" in layers:
         layers["wqkv"] = fn(jnp.concatenate(
             [layers.pop("wq"), layers.pop("wk"), layers.pop("wv")], axis=-1))
@@ -279,10 +267,83 @@ def quantize_params(params, kind: str = "int8",
     for name in _QUANTIZABLE:
         if name in layers:
             layers[name] = fn(layers[name])
-    out["layers"] = layers
+    return layers
+
+
+def quantize_params(params, kind: str = "int8",
+                    quantize_lm_head: bool = True, fuse: bool = False):
+    """Quantize the transformer-layer projection weights of a params pytree
+    (embeddings and norms stay dense, like bitsandbytes' default).
+
+    ``fuse=True`` concatenates q/k/v into one ``wqkv`` weight and gate/up into
+    one ``w_gateup`` along the output dim before quantizing — one fused kernel
+    launch instead of three/two per block (launch overhead is the measured
+    bottleneck of the quantized decode path). core/model.py splits the fused
+    outputs; per-output-channel (INT8) and per-column-block (NF4) scales make
+    fusion exact, not an approximation.
+    """
+    fn = {"int8": quantize_int8, "nf4": quantize_nf4,
+          "fp4": quantize_fp4, "int4": quantize_int4}[kind]
+    out = dict(params)
+    out["layers"] = _quantize_layer_dict(params["layers"], fn, fuse)
     if quantize_lm_head and "lm_head" in params:
         out["lm_head"] = fn(params["lm_head"])
     return out
+
+
+def init_quantized_params(cfg, key: jax.Array, kind: str = "int8",
+                          scale: float = 0.02, fuse: bool = True,
+                          layer_out_scales=None):
+    """Random-init a model DIRECTLY into quantized form, one layer at a time.
+
+    ``init_params`` + ``quantize_params`` materializes the full dense stack
+    first — fine at 1.1B, but an 8B bf16 stack is ~16 GB and fills a v5e
+    chip's entire HBM before quantization begins. This builder keeps peak
+    memory at (quantized stack) + (one dense layer): per layer, generate the
+    dense weights, quantize, append; then concatenate the per-layer quantized
+    containers along the leading layer axis (containers are pytrees, so
+    ``tree.map(concatenate)`` stacks packed/absmax/q/scale leaves uniformly).
+
+    ``layer_out_scales``: optional length-L sequence multiplying each layer's
+    wo/w_down before quantization (bench.py's LayerSkip damped-tail
+    structure). Embeddings and norms stay dense, as in ``quantize_params``.
+    """
+    from functools import partial
+
+    from specdec_tpu.core.model import init_params
+
+    fn = {"int8": quantize_int8, "nf4": quantize_nf4,
+          "fp4": quantize_fp4, "int4": quantize_int4}[kind]
+    L = cfg.num_layers
+    one = cfg.replace(num_layers=1)
+    keys = jax.random.split(key, L + 2)
+
+    @partial(jax.jit, static_argnums=())
+    def build_layer(k, out_scale):
+        lay = init_params(one, k, scale)["layers"]
+        for name in ("wo", "w_down"):
+            lay[name] = (lay[name].astype(jnp.float32)
+                         * out_scale).astype(cfg.dtype)
+        return _quantize_layer_dict(lay, fn, fuse)
+
+    qlayers = []
+    for i in range(L):
+        s = 1.0 if layer_out_scales is None else float(layer_out_scales[i])
+        qlayers.append(build_layer(keys[i], jnp.float32(s)))
+    stacked = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *qlayers)
+
+    D = cfg.hidden_size
+    embed = (jax.random.normal(keys[L], (cfg.vocab_size, D), jnp.float32)
+             * scale).astype(cfg.dtype)
+    params = {"embed": embed, "layers": stacked,
+              "final_norm_w": jnp.ones((D,), cfg.dtype)}
+    if cfg.norm_type == "layernorm":
+        params["final_norm_b"] = jnp.zeros((D,), cfg.dtype)
+    if not cfg.tie_embeddings:
+        head = (jax.random.normal(keys[L + 1], (D, cfg.vocab_size),
+                                  jnp.float32) * scale).astype(cfg.dtype)
+        params["lm_head"] = fn(head)
+    return params
 
 
 # ---------------------------------------------------------------------------

@@ -43,3 +43,9 @@ def test_mha_no_grouping_unaligned_s():
 
 def test_zero_offset_prefill_like():
     _case(B=2, T=8, Hq=4, Hk=2, Dh=16, S=64, offsets=[0, 0])
+
+
+def test_long_cache_mostly_dead_tiles():
+    """Live length << cache capacity: 8 S-tiles, only the first 1-2 live —
+    exercises the length-aware tile clamp/skip against the XLA oracle."""
+    _case(B=2, T=1, Hq=8, Hk=4, Dh=16, S=512, offsets=[40, 100])

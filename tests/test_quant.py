@@ -9,8 +9,8 @@ from jax.experimental.pallas import tpu as pltpu
 from specdec_tpu.core.config import tiny_config
 from specdec_tpu.core.model import forward_full, init_params
 from specdec_tpu.quant import (
-    Int8Weight, NF4Weight, dequantize, quantize_int8, quantize_nf4,
-    quantize_params, qmatmul, NF4_CODEBOOK,
+    Int4Weight, Int8Weight, NF4Weight, dequantize, quantize_int8,
+    quantize_nf4, quantize_params, qmatmul, NF4_CODEBOOK,
 )
 from specdec_tpu.ops.quant_matmul import _int8_matmul_2d, _nf4_matmul_2d
 
@@ -124,6 +124,77 @@ def test_nf4_quantized_spec_decode_runs():
         eos_tokens_id=(), key=jax.random.key(2))
     assert len(out) == 6
     assert 0.0 <= rate <= 1.0
+
+
+def test_quantized_self_draft_spec_equals_quantized_ar():
+    """The headline operating point (bench.py): BOTH models quantized. With
+    the quantized target drafting for itself, greedy spec must reproduce the
+    quantized-AR stream exactly with acceptance 1.0 — the oracle that
+    quantized weights flow through the whole speculative loop unchanged."""
+    from specdec_tpu.sampling.base_decoding import autoregressive_generate
+    from specdec_tpu.sampling.speculative import speculative_generate
+
+    params = init_params(CFG, jax.random.key(0), scale=0.3)
+    q = quantize_params(params, kind="int4", fuse=True)
+    ar = autoregressive_generate([3, 5, 9, 11], CFG, q, max_gen_len=10,
+                                 eos_tokens_id=(), key=jax.random.key(3))
+    spec, rate = speculative_generate(
+        [3, 5, 9, 11], CFG, q, CFG, q, gamma=3, max_gen_len=10,
+        eos_tokens_id=(), key=jax.random.key(4))
+    assert spec == ar
+    assert rate == 1.0
+
+
+def test_layer_sliced_quantized_drafter_runs():
+    """bench.py's LayerSkip drafter at the quantized operating point: slice
+    the leading layer axis of the fused quantized containers via tree.map
+    (containers are registered pytrees, so the slice hits packed/absmax/q/
+    scale leaves uniformly) and run the spec loop."""
+    from specdec_tpu.sampling.speculative import speculative_generate
+
+    params = init_params(CFG, jax.random.key(0), scale=0.3)
+    q = quantize_params(params, kind="int4", fuse=True)
+    drafter = dict(q)
+    drafter["layers"] = jax.tree.map(lambda x: x[:2], q["layers"])
+    d_cfg = CFG.replace(num_layers=2)
+    out, rate = speculative_generate(
+        [3, 5, 9, 11], d_cfg, drafter, CFG, q, gamma=3, max_gen_len=8,
+        eos_tokens_id=(), key=jax.random.key(5))
+    assert len(out) == 8
+    assert 0.0 <= rate <= 1.0
+
+
+def test_init_quantized_params_runs_and_matches_structure():
+    """Per-layer quantized init (the 8B memory-safe build path): same pytree
+    structure as post-hoc fused quantization, damped-tail layer_out_scales
+    applied, and the generation path runs."""
+    from specdec_tpu.quant import init_quantized_params
+    from specdec_tpu.sampling.base_decoding import autoregressive_generate
+
+    q = init_quantized_params(CFG, jax.random.key(7), kind="int4",
+                              layer_out_scales=[1.0, 0.1])
+    ref = quantize_params(init_params(CFG, jax.random.key(7), scale=0.02),
+                          kind="int4", fuse=True)
+    assert jax.tree.structure(q) == jax.tree.structure(ref)
+    for (pa, a), (pb, b) in zip(jax.tree.leaves_with_path(q),
+                                jax.tree.leaves_with_path(ref)):
+        assert a.shape == b.shape and a.dtype == b.dtype, (pa, pb)
+    # the damped layer carries smaller wo scales than the undamped one
+    am = np.asarray(q["layers"]["wo"].absmax, np.float32)
+    assert am[1:].mean() < 0.5 * am[:1].mean()
+    out = autoregressive_generate([3, 5, 9], CFG, q, max_gen_len=6,
+                                  eos_tokens_id=(), key=jax.random.key(8))
+    assert len(out) == 6
+
+
+def test_synthetic_loader_quantized_build():
+    """synthetic: presets with quantization build directly into quantized
+    containers (no dense stack materialized) and report the kind."""
+    from specdec_tpu.engine.model_loader import load_models
+
+    bundle = load_models("synthetic:tiny", quantization="int4")
+    assert bundle["target"].get("quantized") == "int4"
+    assert isinstance(bundle["target"]["params"]["layers"]["wqkv"], Int4Weight)
 
 
 def test_fused_quantization_matches_unfused():
