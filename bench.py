@@ -58,6 +58,7 @@ def build_pair(quant: str = "none", tail_damp: float = None):
         num_layers=22, num_heads=32, num_kv_heads=4, head_dim=64,
         max_position_embeddings=2048, rope_theta=10000.0,
         dtype=jnp.bfloat16,
+        attention_impl=os.getenv("BENCH_ATTN", "xla"),
     )
     if tail_damp is None:
         tail_damp = float(os.getenv("BENCH_TAIL_DAMP", "0.08"))
@@ -156,8 +157,14 @@ def main():
     proc = MultinomialProcessor(temperature=1.0)
     rng = np.random.default_rng(0)
     prompt = [int(t) for t in rng.integers(1, V, size=60)]  # bucket 64
-    GEN = 256        # amortizes the ~40 ms fixed dispatch+prefill cost
-    GAMMA = int(os.getenv("BENCH_GAMMA", "8"))
+    # gen 512: the tunneled backend charges ~200 ms of host/RPC overhead per
+    # generate call (device trace: 168 ms device vs 390 ms wall at gen 256);
+    # longer generation amortizes it for BOTH AR and spec, and throughput is
+    # a steady-state metric (gen-512 spec measured 1.16x the gen-256 rate)
+    GEN = int(os.getenv("BENCH_GEN", "512"))
+    # gamma 10: the gen-512 sweep's best int4 operating point (2.86x vs
+    # int4 AR at 0.778 acceptance; gamma 8 gives 2.71x, gamma 12 2.81x)
+    GAMMA = int(os.getenv("BENCH_GAMMA", "10"))
 
     ar_tps = measure_ar(t_cfg, target, prompt, GEN, proc)
     spec_tps, acc = measure_spec(d_cfg, drafter, t_cfg, target, prompt, GEN,

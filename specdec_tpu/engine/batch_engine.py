@@ -68,6 +68,26 @@ class BatchState:
     speculated: jax.Array # [B] int32
 
 
+@jax.jit
+def _pack_state(state: "BatchState") -> jax.Array:
+    """[B, S+5] int32: buf ++ [pos, prompt_len, accepted, speculated,
+    finished]. On the tunneled backend each materialization is an RPC
+    round-trip, so harvesting via ONE packed pull instead of 5-6 separate
+    ``np.asarray`` calls saves ~100+ ms per sync."""
+    cols = jnp.stack([state.pos, state.prompt_len, state.accepted,
+                      state.speculated, state.finished.astype(jnp.int32)],
+                     axis=1)
+    return jnp.concatenate([state.buf, cols], axis=1)
+
+
+def _unpack_state(packed: np.ndarray):
+    """(buf, pos, prompt_len, accepted, speculated, finished) from the host
+    copy of ``_pack_state``'s output."""
+    buf = packed[:, :-5]
+    pos, plen, acc, spec, fin = (packed[:, -5 + i] for i in range(5))
+    return buf, pos, plen, acc, spec, fin.astype(bool)
+
+
 def _gather_last(buf: jax.Array, pos: jax.Array) -> jax.Array:
     """buf[b, pos[b]-1] for each b."""
     return jnp.take_along_axis(buf, (pos - 1)[:, None], axis=1)[:, 0]
@@ -377,11 +397,8 @@ def batch_speculative_generate(
         if round_idx > gen_len + 2:
             break
 
-    buf = np.asarray(state.buf)
-    pos = np.asarray(state.pos)
-    plen = np.asarray(state.prompt_len)
-    accepted = np.asarray(state.accepted)
-    speculated = np.asarray(state.speculated)
+    buf, pos, plen, accepted, speculated, _ = _unpack_state(
+        np.asarray(_pack_state(state)))
     outputs = [buf[i, plen[i]:pos[i]].tolist() for i in range(B)]
     rates = [float(accepted[i]) / float(speculated[i]) if speculated[i] > 0
              else 0.0 for i in range(B)]
@@ -425,7 +442,5 @@ def batch_autoregressive_generate(
                                   eos_ids, jax.random.fold_in(key, step + 1))
             step += 1
 
-    buf = np.asarray(state.buf)
-    pos = np.asarray(state.pos)
-    plen = np.asarray(state.prompt_len)
+    buf, pos, plen, _, _, _ = _unpack_state(np.asarray(_pack_state(state)))
     return [buf[i, plen[i]:pos[i]].tolist() for i in range(B)]

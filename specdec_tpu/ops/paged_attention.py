@@ -24,10 +24,15 @@ _NEG_INF = -1e30
 
 
 def _kernel(tbl_ref, off_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref,
-            acc_ref, *, G: int, page: int, scale: float):
+            acc_ref, *, G: int, page: int, T: int, scale: float):
     b = pl.program_id(0)
     p = pl.program_id(2)
     np_ = pl.num_programs(2)
+    # last logical page holding any live key: the max query position is
+    # offsets[b] + T - 1. Pages past it are skipped (the index_map clamps to
+    # this page so their DMAs re-fetch the same block, which the pipeline
+    # elides) — per-step cost tracks live length, not max_pages_per_seq.
+    last = (off_ref[b] + (T - 1)) // page
 
     @pl.when(p == 0)
     def _():
@@ -35,30 +40,32 @@ def _kernel(tbl_ref, off_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0, 0]                      # [TGp, Dh]
-    k = k_ref[0, :, 0, :]                # [page, Dh]
-    v = v_ref[0, :, 0, :]
+    @pl.when(p <= last)
+    def _():
+        q = q_ref[0, 0]                      # [TGp, Dh]
+        k = k_ref[0, :, 0, :]                # [page, Dh]
+        v = v_ref[0, :, 0, :]
 
-    scores = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale          # [TGp, page]
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale      # [TGp, page]
 
-    TGp = q.shape[0]
-    row = jax.lax.broadcasted_iota(jnp.int32, (TGp, page), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (TGp, page), 1)
-    q_pos = off_ref[b] + row // G
-    k_pos = p * page + col
-    scores = jnp.where(k_pos <= q_pos, scores, _NEG_INF)
+        TGp = q.shape[0]
+        row = jax.lax.broadcasted_iota(jnp.int32, (TGp, page), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (TGp, page), 1)
+        q_pos = off_ref[b] + row // G
+        k_pos = p * page + col
+        scores = jnp.where(k_pos <= q_pos, scores, _NEG_INF)
 
-    m_prev = m_ref[:]
-    m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
-    alpha = jnp.exp(m_prev - m_new)
-    pr = jnp.exp(scores - m_new)
-    l_ref[:] = l_ref[:] * alpha + jnp.sum(pr, axis=-1, keepdims=True)
-    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-        pr.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    m_ref[:] = m_new
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        pr = jnp.exp(scores - m_new)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(pr, axis=-1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            pr.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_ref[:] = m_new
 
     @pl.when(p == np_ - 1)
     def _():
@@ -86,6 +93,12 @@ def paged_decode_attention(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
     if TGp != TG:
         qr = jnp.pad(qr, ((0, 0), (0, 0), (0, TGp - TG), (0, 0)))
 
+    # logical pages past the last live one clamp to it: same physical block,
+    # so the pipeline elides the DMA and the kernel's pl.when skips compute
+    def _kv_index(b, h, p, tbl, off):
+        last = (off[b] + (T - 1)) // page
+        return (tbl[b, jnp.minimum(p, last)], 0, h, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, Hk, MP),
@@ -93,11 +106,9 @@ def paged_decode_attention(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
             pl.BlockSpec((1, 1, TGp, Dh),
                          lambda b, h, p, tbl, off: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, page, 1, Dh),
-                         lambda b, h, p, tbl, off: (tbl[b, p], 0, h, 0),
+            pl.BlockSpec((1, page, 1, Dh), _kv_index,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, page, 1, Dh),
-                         lambda b, h, p, tbl, off: (tbl[b, p], 0, h, 0),
+            pl.BlockSpec((1, page, 1, Dh), _kv_index,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, TGp, Dh),
@@ -110,7 +121,7 @@ def paged_decode_attention(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, G=G, page=page, scale=scale),
+        functools.partial(_kernel, G=G, page=page, T=T, scale=scale),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hk, TGp, Dh), q.dtype),
     )(page_table.astype(jnp.int32), offsets.astype(jnp.int32),

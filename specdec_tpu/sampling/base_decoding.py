@@ -57,7 +57,9 @@ def _ar_generate(cfg: ModelConfig, params, prompt: jax.Array, prompt_len: jax.Ar
 
     state = (buf, cache, prompt_len, last_logits, jnp.asarray(False), jnp.int32(0))
     buf, _, pos, _, _, _ = lax.while_loop(cond, body, state)
-    return buf, pos - prompt_len
+    # fold n_generated into the buffer: ONE host pull instead of two RPC
+    # round-trips on the tunneled backend
+    return jnp.concatenate([buf, (pos - prompt_len)[None]])
 
 
 def autoregressive_generate(
@@ -79,13 +81,13 @@ def autoregressive_generate(
     key = key if key is not None else jax.random.key(0)
     eos_ids = normalize_eos(eos_tokens_id)
     prompt, n = pad_to_bucket(inputs, pad_token_id)
-    buf, n_gen = _ar_generate(cfg, params, prompt, jnp.int32(n), int(max_gen_len),
-                              processor, eos_ids, key)
+    packed = _ar_generate(cfg, params, prompt, jnp.int32(n), int(max_gen_len),
+                          processor, eos_ids, key)
     # ONE host transfer: per-element indexing of a device array costs a full
-    # host<->device round trip per token
+    # host<->device round trip per token (and n_gen rides in the same array)
     import numpy as np
-    buf = np.asarray(buf)
-    n_gen = int(n_gen)
+    packed = np.asarray(packed)
+    buf, n_gen = packed[:-1], int(packed[-1])
     return buf[n:n + n_gen].tolist()
 
 

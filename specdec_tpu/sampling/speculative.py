@@ -195,7 +195,12 @@ def _spec_generate(
           jnp.int32(0), jnp.int32(0), jnp.int32(0), accept_log)
     (buf, pos, _, _, _, accepted, speculated, windows, accept_log) = \
         lax.while_loop(cond, body, st)
-    return buf, pos - prompt_len, accepted, speculated, accept_log
+    # fold the scalar stats into the token buffer so the host retrieves ONE
+    # array: on the tunneled backend every materialization is an RPC
+    # round-trip (~tens of ms), so buf+3 separate int() pulls cost 4 RPCs
+    packed = jnp.concatenate(
+        [buf, jnp.stack([pos - prompt_len, accepted, speculated])])
+    return packed, accept_log
 
 
 def speculative_generate(
@@ -230,16 +235,15 @@ def speculative_generate(
         raise ValueError(
             f"first_target=False requires a prompt of >= 2 tokens (got {n})")
 
-    buf, n_gen, accepted, speculated, accept_log = _spec_generate(
+    packed, accept_log = _spec_generate(
         drafter_cfg, drafter_params, target_cfg, target_params,
         prompt, jnp.int32(n), int(gamma), int(max_gen_len),
         processor, eos_ids, bool(first_target), bool(skip_sample_adjustment), key)
 
     import numpy as np
-    buf = np.asarray(buf)  # one host transfer (per-element reads round-trip)
-    n_gen = int(n_gen)
-    accepted = int(accepted)
-    speculated = int(speculated)
+    packed = np.asarray(packed)  # ONE host transfer (scalars folded into buf)
+    buf = packed[:-3]
+    n_gen, accepted, speculated = (int(v) for v in packed[-3:])
     rate = accepted / speculated if speculated > 0 else 0.0
     if debug:
         from specdec_tpu.utils import printing

@@ -248,12 +248,9 @@ class ContinuousBatcher:
                 self.eos_ids, self.skip_sample_adjustment, self._next_key())
 
         now = time.time()
-        finished = np.asarray(self.state.finished)
-        pos = np.asarray(self.state.pos)
-        plen = np.asarray(self.state.prompt_len)
-        buf = np.asarray(self.state.buf)
-        accepted = np.asarray(self.state.accepted)
-        speculated = np.asarray(self.state.speculated)
+        from specdec_tpu.engine.batch_engine import _pack_state, _unpack_state
+        buf, pos, plen, accepted, speculated, finished = _unpack_state(
+            np.asarray(_pack_state(self.state)))
         for slot in range(self.B):
             if self.slot_req[slot] is not None:
                 if self._slot_first_token[slot] is None:

@@ -101,6 +101,33 @@ def test_paged_kernel_matches_gather_oracle():
                                np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
+def test_paged_kernel_mostly_dead_pages():
+    """Live length << allocated pages: only the first 1-2 of 6 logical pages
+    hold live keys — exercises the length-aware page clamp/skip (the index
+    map re-fetches the last live page for dead grid steps; pl.when skips
+    their compute) against the gather oracle."""
+    B, T, Hq, Hk, Dh = 2, 1, 8, 4, 16
+    NP, MP = 13, 6
+    pool_k = jnp.asarray(RNG.normal(size=(NP, PAGE, Hk, Dh)).astype(np.float32))
+    pool_v = jnp.asarray(RNG.normal(size=(NP, PAGE, Hk, Dh)).astype(np.float32))
+    table = jnp.asarray(RNG.permutation(NP)[:B * MP].reshape(B, MP).astype(np.int32))
+    q = jnp.asarray(RNG.normal(size=(B, T, Hq, Dh)).astype(np.float32))
+    offsets = jnp.asarray([5, 20], jnp.int32)   # live pages: 1 and 2 of 6
+
+    from specdec_tpu.core.model import _attention
+    cfg = tiny_config(num_heads=Hq, num_kv_heads=Hk, head_dim=Dh,
+                      hidden_size=Hq * Dh, intermediate_size=Hq * Dh)
+    k_all = gather_pages(pool_k, table)
+    v_all = gather_pages(pool_v, table)
+    q_pos = offsets[:, None] + jnp.arange(T)[None, :]
+    ref = _attention(cfg, q, k_all, v_all, q_pos, None)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = paged_decode_attention(q, pool_k, pool_v, table, offsets, Hk)
+    np.testing.assert_allclose(np.asarray(got.reshape(B, T, Hq * Dh)),
+                               np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
 def test_write_block_crosses_page_boundary():
     Hk, Dh = 2, 4
     pool = jnp.zeros((5, PAGE, Hk, Dh), jnp.float32)

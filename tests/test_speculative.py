@@ -86,10 +86,10 @@ def test_output_distribution_preserved(models):
     keys = jax.random.split(jax.random.key(42), n_runs)
 
     def one(key):
-        buf, n_gen, *_ = _spec_generate(
+        packed, _ = _spec_generate(
             CFG, drafter, CFG, target, prompt, jnp.int32(n),
             3, 1, proc, (), False, False, key)
-        return buf[n]
+        return packed[n]   # first generated token (stats ride at the tail)
 
     tokens = np.asarray(jax.vmap(one)(keys))
     counts = np.bincount(tokens, minlength=VOCAB) / n_runs

@@ -1,0 +1,171 @@
+"""On-chip validation + benchmark of the paged-attention path (VERDICT #4).
+
+Part 1 — kernel validation on real TPU: `paged_decode_attention` vs the
+gather_pages + XLA attention oracle, on decode shapes the serving path
+actually uses (T=1 decode and T=gamma+1 verify, scrambled page tables,
+mixed live lengths so the length-aware page clamp is exercised).
+
+Part 2 — kernel microbench: paged kernel vs gather-oracle per call.
+
+Part 3 — serving: PagedContinuousBatcher vs slotted ContinuousBatcher,
+B=8 slots, 16 requests with mixed prompt lengths.
+
+Usage: python tools/bench_paged.py [--skip-serve]
+"""
+import argparse
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def xla_oracle(q, k_pool, v_pool, table, offsets, Hk):
+    """Gather pages then dense masked attention — the reference semantics."""
+    from specdec_tpu.core.paged_cache import gather_pages
+    B, T, Hq, Dh = q.shape
+    G = Hq // Hk
+    k = gather_pages(k_pool, table)            # [B, S, Hk, Dh]
+    v = gather_pages(v_pool, table)
+    S = k.shape[1]
+    qg = q.reshape(B, T, Hk, G, Dh)
+    scores = jnp.einsum("bthgd,bshd->bhgts", qg, k) / (Dh ** 0.5)
+    q_pos = offsets[:, None] + jnp.arange(T)[None, :]          # [B, T]
+    mask = jnp.arange(S)[None, None, :] <= q_pos[:, :, None]   # [B, T, S]
+    scores = jnp.where(mask[:, None, None], scores, -1e30)
+    w = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhgts,bshd->bthgd", w, v)
+    return out.reshape(B, T, Hq, Dh)
+
+
+def validate(B, T, Hq, Hk, Dh, page, MP, offsets, dtype=jnp.bfloat16, seed=0):
+    from specdec_tpu.ops.paged_attention import paged_decode_attention
+    rng = np.random.default_rng(seed)
+    NP = B * MP + 3
+    q = jnp.asarray(rng.normal(size=(B, T, Hq, Dh)), dtype)
+    kp = jnp.asarray(rng.normal(size=(NP, page, Hk, Dh)), dtype)
+    vp = jnp.asarray(rng.normal(size=(NP, page, Hk, Dh)), dtype)
+    perm = rng.permutation(NP - 3) + 3
+    table = jnp.asarray(perm[:B * MP].reshape(B, MP).astype(np.int32))
+    off = jnp.asarray(offsets, jnp.int32)
+
+    got = np.asarray(paged_decode_attention(q, kp, vp, table, off, Hk),
+                     np.float32)
+    ref = np.asarray(xla_oracle(q, kp, vp, table, off, Hk), np.float32)
+    err = np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-9)
+    log(f"  validate B={B} T={T} Hq={Hq}/{Hk} Dh={Dh} page={page} MP={MP} "
+        f"off={list(np.asarray(off))}: rel-err {err:.2e}")
+    assert err < 3e-2, f"paged kernel mismatch: {err}"
+    return q, kp, vp, table, off
+
+
+def microbench(q, kp, vp, table, off, Hk, iters=50):
+    from specdec_tpu.ops.paged_attention import paged_decode_attention
+
+    def timed(fn, label):
+        _ = np.asarray(fn(q, kp, vp, table, off, Hk))  # compile + barrier
+        t0 = time.time()
+        for _ in range(iters):
+            r = fn(q, kp, vp, table, off, Hk)
+        _ = np.asarray(r)
+        dt = (time.time() - t0) / iters * 1000
+        log(f"  {label}: {dt:.4f} ms/call")
+        return dt
+
+    oracle = jax.jit(xla_oracle, static_argnames=("Hk",))
+    kern = timed(paged_decode_attention, "paged kernel")
+    orac = timed(lambda *a, Hk=Hk: oracle(*a, Hk=Hk), "gather+XLA oracle")
+    return kern, orac
+
+
+def bench_serving(paged: bool, n_requests=16, slots=8, gen=128, gamma=8):
+    from specdec_tpu.core.config import ModelConfig
+    from specdec_tpu.core.model import init_params
+    from specdec_tpu.serve.scheduler import ContinuousBatcher
+    from specdec_tpu.serve.paged_scheduler import PagedContinuousBatcher
+
+    V = 32000
+    t_cfg = ModelConfig(vocab_size=V, hidden_size=2048, intermediate_size=5632,
+                        num_layers=22, num_heads=32, num_kv_heads=4,
+                        head_dim=64, max_position_embeddings=2048,
+                        rope_theta=10000.0, dtype=jnp.bfloat16)
+    d_cfg = t_cfg.replace(num_layers=4)
+    base = init_params(t_cfg, jax.random.key(0), scale=0.02)
+    mask = (jnp.arange(t_cfg.num_layers) >= 4).astype(jnp.float32)
+    sv = (1.0 - mask) + mask * 0.08
+    layers = dict(base["layers"])
+    layers["wo"] = (base["layers"]["wo"].astype(jnp.float32)
+                    * sv[:, None, None]).astype(jnp.bfloat16)
+    layers["w_down"] = (base["layers"]["w_down"].astype(jnp.float32)
+                        * sv[:, None, None]).astype(jnp.bfloat16)
+    target = dict(base, layers=layers)
+    drafter = dict(target)
+    drafter["layers"] = jax.tree.map(lambda x: x[:4], target["layers"])
+    _ = np.asarray(target["embed"][0, :1])
+
+    rng = np.random.default_rng(1)
+    prompts = [[int(t) for t in rng.integers(1, V, size=int(n))]
+               for n in rng.integers(30, 200, size=n_requests)]
+
+    kw = dict(gamma=gamma, num_slots=slots, windows_per_sync=8,
+              max_new_tokens=gen)
+    if paged:
+        b = PagedContinuousBatcher(d_cfg, drafter, t_cfg, target,
+                                   page_size=64, **kw)
+    else:
+        b = ContinuousBatcher(d_cfg, drafter, t_cfg, target, **kw)
+    for p in prompts:
+        b.submit(p, max_new_tokens=gen)
+    t0 = time.time()
+    done = b.run()
+    dt = time.time() - t0
+    toks = sum(len(r.output_ids) for r in done.values())
+    ttfts = sorted(r.metrics.ttft for r in done.values() if r.metrics)
+    p50 = ttfts[len(ttfts) // 2] * 1000 if ttfts else float("nan")
+    label = "paged" if paged else "slotted"
+    log(f"  {label}: {toks} tokens in {dt:.2f}s = {toks / dt:.0f} tok/s "
+        f"aggregate, p50 TTFT {p50:.0f} ms")
+    return toks / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-serve", action="store_true")
+    ap.add_argument("--skip-kernel", action="store_true")
+    args = ap.parse_args()
+    log(f"backend={jax.default_backend()}")
+
+    if not args.skip_kernel:
+        log("=== part 1: on-chip kernel validation ===")
+        # serving decode shape: 1.1B-like heads, page 64
+        validate(B=8, T=1, Hq=32, Hk=4, Dh=64, page=64, MP=8,
+                 offsets=[40, 100, 511, 7, 250, 64, 63, 300])
+        # gamma-window verify shape (T=9)
+        a = validate(B=4, T=9, Hq=32, Hk=4, Dh=64, page=64, MP=8,
+                     offsets=[40, 100, 350, 7])
+        # MHA, small Dh
+        validate(B=2, T=1, Hq=8, Hk=8, Dh=128, page=32, MP=4,
+                 offsets=[10, 100])
+        log("kernel validation PASS")
+
+        log("=== part 2: kernel vs oracle microbench (B=4 T=9 S=512) ===")
+        microbench(*a, Hk=4)
+
+    if not args.skip_serve:
+        log("=== part 3: serving bench (B=8 slots, 16 reqs, gen 128) ===")
+        slotted = bench_serving(paged=False)
+        paged = bench_serving(paged=True)
+        log(f"paged/slotted aggregate ratio: {paged / slotted:.2f}")
+
+    print('{"ok": true}')
+
+
+if __name__ == "__main__":
+    main()
