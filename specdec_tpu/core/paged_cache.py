@@ -28,10 +28,16 @@ import numpy as np
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class PagedKVCache:
-    """k/v pools: [L, num_pages, page_size, Hk, Dh];
+    """k/v pools: [L, num_pages, Hk, page_size, Dh];
     page_table: [B, max_pages] int32 (pool page id per logical page; unused
     entries point at page 0 — harmless, masked by length);
-    length: [B] int32 valid tokens per sequence."""
+    length: [B] int32 valid tokens per sequence.
+
+    Layout note: Hk sits BEFORE page_size so a Pallas block over one
+    (page, head) is contiguous in the trailing (page_size, Dh) dims —
+    Mosaic requires the last two block dims to tile (8, 128) or equal the
+    array dims, which a [.., page, Hk, Dh] layout's (1, Dh) blocks violate
+    (measured failure on chip; same constraint the flash kernel hit)."""
 
     k: jax.Array
     v: jax.Array
@@ -40,7 +46,7 @@ class PagedKVCache:
 
     @property
     def page_size(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
     @property
     def max_pages(self) -> int:
@@ -78,7 +84,7 @@ class PageAllocator:
 def init_paged_cache(cfg, batch_size: int, num_pages: int, page_size: int,
                      max_pages_per_seq: int, dtype=None) -> PagedKVCache:
     dtype = dtype or cfg.dtype
-    shape = (cfg.num_layers, num_pages, page_size, cfg.num_kv_heads,
+    shape = (cfg.num_layers, num_pages, cfg.num_kv_heads, page_size,
              cfg.head_dim)
     return PagedKVCache(
         k=jnp.zeros(shape, dtype=dtype),
@@ -92,27 +98,29 @@ def write_block_paged(layer_k: jax.Array, layer_v: jax.Array,
                       new_k: jax.Array, new_v: jax.Array,
                       page_table: jax.Array, offsets: jax.Array,
                       page_size: int) -> Tuple[jax.Array, jax.Array]:
-    """Scatter a [B, T, Hk, Dh] block into one layer's page pool at
-    per-sequence offsets. T is small (1 or gamma+1): one scatter per block
-    position, vectorized over the batch."""
+    """Scatter a [B, T, Hk, Dh] block into one layer's [NP, Hk, page, Dh]
+    pool at per-sequence offsets. T is small (1 or gamma+1): one scatter per
+    block position, vectorized over the batch."""
     B, T = new_k.shape[0], new_k.shape[1]
     for t in range(T):
         pos = offsets + t
         page = jnp.take_along_axis(page_table, (pos // page_size)[:, None],
                                    axis=1)[:, 0]            # [B]
         slot = pos % page_size
-        layer_k = layer_k.at[page, slot].set(new_k[:, t])
-        layer_v = layer_v.at[page, slot].set(new_v[:, t])
+        # separated advanced indices (page, :, slot) put the broadcast batch
+        # dim first: target slice shape [B, Hk, Dh] == new_k[:, t]
+        layer_k = layer_k.at[page, :, slot].set(new_k[:, t])
+        layer_v = layer_v.at[page, :, slot].set(new_v[:, t])
     return layer_k, layer_v
 
 
 def gather_pages(layer_kv: jax.Array, page_table: jax.Array) -> jax.Array:
-    """[num_pages, page, Hk, Dh] + [B, max_pages] → contiguous
+    """[num_pages, Hk, page, Dh] + [B, max_pages] → contiguous
     [B, max_pages*page, Hk, Dh] view (XLA reference path / kernel oracle)."""
     B, MP = page_table.shape
-    gathered = layer_kv[page_table]            # [B, MP, page, Hk, Dh]
-    ps = layer_kv.shape[1]
-    return gathered.reshape(B, MP * ps, *layer_kv.shape[2:])
+    NP, Hk, ps, Dh = layer_kv.shape
+    gathered = layer_kv[page_table]            # [B, MP, Hk, page, Dh]
+    return gathered.transpose(0, 1, 3, 2, 4).reshape(B, MP * ps, Hk, Dh)
 
 
 def required_pages(length: int, page_size: int) -> int:

@@ -74,7 +74,9 @@ def _nasd_verify(cfg: ModelConfig, params, cache, last_tok, drafts,
     fillers = lax.top_k(p, filler_k)[1].astype(jnp.int32)  # [gamma+1, filler_k]
     # cache already covers pos-1+gamma+1 tokens; roll to pos+n (= new_pos-1)
     new_len = cache.length - (gamma + 1) + n + 1
-    return n, samples, fillers, cache.with_length(new_len)
+    # single packed host pull per window (see _nasd_batch_verify)
+    packed = jnp.concatenate([n[None], samples, fillers.reshape(-1)])
+    return packed, cache.with_length(new_len)
 
 
 @partial(jax.jit, static_argnames=("cfg", "processor", "gamma", "filler_k"),
@@ -108,7 +110,12 @@ def _nasd_batch_verify(cfg: ModelConfig, params, cache, last_toks, drafts,
     fillers = lax.top_k(p, filler_k)[1].astype(jnp.int32)  # [B, g+1, k]
     advance = jnp.where(active, n + 1, 0)
     new_len = cache.length - (gamma + 1) + advance
-    return n, samples, fillers, cache.with_length(new_len)
+    # pack (n, samples, fillers) into ONE [B, 1+(g+1)+(g+1)*k] array: the
+    # host loop syncs every window, and each separate materialization is an
+    # RPC round-trip (~35 ms) on the tunneled backend
+    packed = jnp.concatenate(
+        [n[:, None], samples, fillers.reshape(B, -1)], axis=1)
+    return packed, cache.with_length(new_len)
 
 
 def batch_ngram_assisted_generate(
@@ -198,13 +205,14 @@ def batch_ngram_assisted_generate(
             drafts_arr[b, :len(drafts_host[b])] = drafts_host[b][:gamma]
 
         active = jnp.asarray([not f for f in finished])
-        n, samples, fillers, cache = _nasd_batch_verify(
+        packed, cache = _nasd_batch_verify(
             target_cfg, target_params, cache, jnp.asarray(last_arr),
             jnp.asarray(drafts_arr), jnp.asarray(eff_arr), active, processor,
             gamma, filler_k, jax.random.fold_in(key, window))
-        n = np.asarray(n)
-        samples = np.asarray(samples)
-        fillers = np.asarray(fillers)
+        packed = np.asarray(packed)   # ONE pull per window
+        n = packed[:, 0]
+        samples = packed[:, 1:gamma + 2]
+        fillers = packed[:, gamma + 2:].reshape(B, gamma + 1, filler_k)
 
         for b in range(B):
             if finished[b]:
@@ -311,13 +319,14 @@ def ngram_assisted_speculative_generate(
         drafts_arr[:len(drafts)] = drafts[:gamma]
 
         # --- device verify window -------------------------------------------
-        n, samples, fillers, cache = _nasd_verify(
+        packed, cache = _nasd_verify(
             target_cfg, target_params, cache, jnp.int32(tokens[-1]),
             jnp.asarray(drafts_arr), jnp.int32(eff), processor, gamma,
             filler_k, jax.random.fold_in(key, window))
-        n = int(n)
-        samples = np.asarray(samples)
-        fillers = np.asarray(fillers)
+        packed = np.asarray(packed)   # ONE pull per window
+        n = int(packed[0])
+        samples = packed[1:gamma + 2]
+        fillers = packed[gamma + 2:].reshape(gamma + 1, filler_k)
         accepted += n
 
         committed = drafts[:n] + [int(samples[n])]

@@ -43,8 +43,8 @@ def _kernel(tbl_ref, off_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref,
     @pl.when(p <= last)
     def _():
         q = q_ref[0, 0]                      # [TGp, Dh]
-        k = k_ref[0, :, 0, :]                # [page, Dh]
-        v = v_ref[0, :, 0, :]
+        k = k_ref[0, 0]                      # [page, Dh]
+        v = v_ref[0, 0]
 
         scores = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
@@ -77,10 +77,12 @@ def _kernel(tbl_ref, off_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref,
 def paged_decode_attention(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
                            page_table: jax.Array, offsets: jax.Array,
                            num_kv_heads: int) -> jax.Array:
-    """q: [B, T, Hq, Dh]; pools: [num_pages, page, Hk, Dh];
+    """q: [B, T, Hq, Dh]; pools: [num_pages, Hk, page, Dh] (head-major so
+    each (page, head) block is contiguous in its trailing (page, Dh) dims —
+    the layout Mosaic can tile; see PagedKVCache docstring);
     page_table: [B, MP] int32; offsets: [B]. Returns [B, T, Hq, Dh]."""
     B, T, Hq, Dh = q.shape
-    page = k_pool.shape[1]
+    page = k_pool.shape[2]
     Hk = num_kv_heads
     G = Hq // Hk
     TG = T * G
@@ -97,7 +99,7 @@ def paged_decode_attention(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
     # so the pipeline elides the DMA and the kernel's pl.when skips compute
     def _kv_index(b, h, p, tbl, off):
         last = (off[b] + (T - 1)) // page
-        return (tbl[b, jnp.minimum(p, last)], 0, h, 0)
+        return (tbl[b, jnp.minimum(p, last)], h, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -106,9 +108,9 @@ def paged_decode_attention(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
             pl.BlockSpec((1, 1, TGp, Dh),
                          lambda b, h, p, tbl, off: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, page, 1, Dh), _kv_index,
+            pl.BlockSpec((1, 1, page, Dh), _kv_index,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, page, 1, Dh), _kv_index,
+            pl.BlockSpec((1, 1, page, Dh), _kv_index,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, TGp, Dh),

@@ -81,8 +81,8 @@ def test_paged_forward_matches_slotted():
 def test_paged_kernel_matches_gather_oracle():
     B, T, Hq, Hk, Dh = 2, 3, 8, 4, 16
     NP, MP = 11, 4
-    pool_k = jnp.asarray(RNG.normal(size=(NP, PAGE, Hk, Dh)).astype(np.float32))
-    pool_v = jnp.asarray(RNG.normal(size=(NP, PAGE, Hk, Dh)).astype(np.float32))
+    pool_k = jnp.asarray(RNG.normal(size=(NP, Hk, PAGE, Dh)).astype(np.float32))
+    pool_v = jnp.asarray(RNG.normal(size=(NP, Hk, PAGE, Dh)).astype(np.float32))
     table = jnp.asarray(RNG.permutation(NP)[:B * MP].reshape(B, MP).astype(np.int32))
     q = jnp.asarray(RNG.normal(size=(B, T, Hq, Dh)).astype(np.float32))
     offsets = jnp.asarray([29, 50], jnp.int32)
@@ -108,8 +108,8 @@ def test_paged_kernel_mostly_dead_pages():
     their compute) against the gather oracle."""
     B, T, Hq, Hk, Dh = 2, 1, 8, 4, 16
     NP, MP = 13, 6
-    pool_k = jnp.asarray(RNG.normal(size=(NP, PAGE, Hk, Dh)).astype(np.float32))
-    pool_v = jnp.asarray(RNG.normal(size=(NP, PAGE, Hk, Dh)).astype(np.float32))
+    pool_k = jnp.asarray(RNG.normal(size=(NP, Hk, PAGE, Dh)).astype(np.float32))
+    pool_v = jnp.asarray(RNG.normal(size=(NP, Hk, PAGE, Dh)).astype(np.float32))
     table = jnp.asarray(RNG.permutation(NP)[:B * MP].reshape(B, MP).astype(np.int32))
     q = jnp.asarray(RNG.normal(size=(B, T, Hq, Dh)).astype(np.float32))
     offsets = jnp.asarray([5, 20], jnp.int32)   # live pages: 1 and 2 of 6
@@ -130,16 +130,16 @@ def test_paged_kernel_mostly_dead_pages():
 
 def test_write_block_crosses_page_boundary():
     Hk, Dh = 2, 4
-    pool = jnp.zeros((5, PAGE, Hk, Dh), jnp.float32)
+    pool = jnp.zeros((5, Hk, PAGE, Dh), jnp.float32)
     table = jnp.asarray([[3, 1, 4]], jnp.int32)
     blk = jnp.ones((1, 4, Hk, Dh)) * jnp.arange(1, 5)[None, :, None, None]
     # offset 14: tokens land at page0[14], page0[15], page1[0], page1[1]
     k2, _ = write_block_paged(pool, pool, blk, blk, table,
                               jnp.asarray([14], jnp.int32), PAGE)
-    assert float(k2[3, 14, 0, 0]) == 1.0
-    assert float(k2[3, 15, 0, 0]) == 2.0
+    assert float(k2[3, 0, 14, 0]) == 1.0
+    assert float(k2[3, 0, 15, 0]) == 2.0
     assert float(k2[1, 0, 0, 0]) == 3.0
-    assert float(k2[1, 1, 0, 0]) == 4.0
+    assert float(k2[1, 0, 1, 0]) == 4.0
 
 
 def test_allocator():

@@ -50,8 +50,8 @@ def validate(B, T, Hq, Hk, Dh, page, MP, offsets, dtype=jnp.bfloat16, seed=0):
     rng = np.random.default_rng(seed)
     NP = B * MP + 3
     q = jnp.asarray(rng.normal(size=(B, T, Hq, Dh)), dtype)
-    kp = jnp.asarray(rng.normal(size=(NP, page, Hk, Dh)), dtype)
-    vp = jnp.asarray(rng.normal(size=(NP, page, Hk, Dh)), dtype)
+    kp = jnp.asarray(rng.normal(size=(NP, Hk, page, Dh)), dtype)
+    vp = jnp.asarray(rng.normal(size=(NP, Hk, page, Dh)), dtype)
     perm = rng.permutation(NP - 3) + 3
     table = jnp.asarray(perm[:B * MP].reshape(B, MP).astype(np.int32))
     off = jnp.asarray(offsets, jnp.int32)
@@ -81,7 +81,9 @@ def microbench(q, kp, vp, table, off, Hk, iters=50):
 
     oracle = jax.jit(xla_oracle, static_argnames=("Hk",))
     kern = timed(paged_decode_attention, "paged kernel")
-    orac = timed(lambda *a, Hk=Hk: oracle(*a, Hk=Hk), "gather+XLA oracle")
+    orac = timed(lambda q_, k_, v_, t_, o_, Hk_: oracle(q_, k_, v_, t_, o_,
+                                                        Hk=Hk_),
+                 "gather+XLA oracle")
     return kern, orac
 
 
