@@ -349,17 +349,28 @@ def init_quantized_params(cfg, key: jax.Array, kind: str = "int8",
         stacked = write_layer(stacked, build_layer(keys[i], jnp.float32(s)),
                               jnp.int32(i))
 
+    # embed/head built and quantized UNDER jit: eagerly, an 8B-vocab head
+    # (4096x128256) materializes a ~2 GB f32/int32 buffer per elementwise op
+    # of the quantize chain (measured ResourceExhausted); jit fuses them
     D = cfg.hidden_size
-    embed = (jax.random.normal(keys[L], (cfg.vocab_size, D), jnp.float32)
-             * scale).astype(cfg.dtype)
-    params = {"embed": embed, "layers": stacked,
+
+    @jax.jit
+    def build_embed(k):
+        return (jax.random.normal(k, (cfg.vocab_size, D), jnp.float32)
+                * scale).astype(cfg.dtype)
+
+    @jax.jit
+    def build_head(k):
+        head = (jax.random.normal(k, (D, cfg.vocab_size), jnp.float32)
+                * scale).astype(cfg.dtype)
+        return fn(head)
+
+    params = {"embed": build_embed(keys[L]), "layers": stacked,
               "final_norm_w": jnp.ones((D,), cfg.dtype)}
     if cfg.norm_type == "layernorm":
         params["final_norm_b"] = jnp.zeros((D,), cfg.dtype)
     if not cfg.tie_embeddings:
-        head = (jax.random.normal(keys[L + 1], (D, cfg.vocab_size),
-                                  jnp.float32) * scale).astype(cfg.dtype)
-        params["lm_head"] = fn(head)
+        params["lm_head"] = build_head(keys[L + 1])
     return params
 
 

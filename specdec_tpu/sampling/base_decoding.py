@@ -224,7 +224,8 @@ def _beam_search(cfg: ModelConfig, params, prompt: jax.Array,
     st = (buf, cum, score, last_index, cache, prompt_len + 1)
     buf, cum, score, last_index, cache, cur = lax.while_loop(cond, body, st)
     last_index = jnp.where(last_index < 0, total_len - 1, last_index)
-    return buf[0], last_index[0]
+    # fold last_index into the buffer: ONE host pull
+    return jnp.concatenate([buf[0], last_index[0][None]])
 
 
 def _tok_in(tokens: jax.Array, ids: Tuple[int, ...]) -> jax.Array:
@@ -254,11 +255,11 @@ def beam_search_generate(
     prompt, n = pad_to_bucket(inputs, pad_token_id)
     assert n < cfg.max_position_embeddings, \
         "Prompt length exceeds maximum sequence length."
-    buf, last = _beam_search(cfg, params, prompt, jnp.int32(n),
-                             int(max_gen_len), int(num_beams), int(top_k),
-                             float(alpha), float(min_length), eos_ids,
-                             int(pad_token_id))
+    packed = _beam_search(cfg, params, prompt, jnp.int32(n),
+                          int(max_gen_len), int(num_beams), int(top_k),
+                          float(alpha), float(min_length), eos_ids,
+                          int(pad_token_id))
     import numpy as np
-    buf = np.asarray(buf)
-    last = int(last)
+    packed = np.asarray(packed)   # ONE pull (last index rides along)
+    buf, last = packed[:-1], int(packed[-1])
     return buf[n:last + 1].tolist()

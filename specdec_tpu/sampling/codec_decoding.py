@@ -77,7 +77,9 @@ def _codec_ar(cfg: CodecConfig, params, prompt, prompt_len,
 
     st = (buf, cache, jnp.int32(1), jnp.asarray(False), jnp.int32(0))
     buf, _, pos, _, _ = lax.while_loop(cond, body, st)
-    return buf, pos
+    # fold pos into the buffer: ONE host pull (RPC round-trips dominate on
+    # the tunneled backend; see sampling/speculative.py)
+    return jnp.concatenate([buf, pos[None]])
 
 
 def autoregressive_generate_encoder_decoder(
@@ -101,10 +103,11 @@ def autoregressive_generate_encoder_decoder(
     prompt, n = pad_to_bucket(inputs, pad_token_id)
     gen_budget = max_gen_len + 1
     cache_len = gen_budget + 8
-    buf, pos = _codec_ar(cfg, params, prompt, jnp.int32(n), gen_budget,
-                         processor, eos_ids, cache_len, key)
+    packed = _codec_ar(cfg, params, prompt, jnp.int32(n), gen_budget,
+                       processor, eos_ids, cache_len, key)
     import numpy as np
-    return np.asarray(buf)[:int(pos)].tolist()
+    packed = np.asarray(packed)   # ONE pull (pos rides in the same array)
+    return packed[:int(packed[-1])].tolist()
 
 
 @partial(jax.jit, static_argnames=(
@@ -226,7 +229,8 @@ def _codec_spec(drafter_cfg: CodecConfig, drafter_params,
     st = (buf, pos, d_cache, t_cache, finished0, jnp.int32(0), jnp.int32(0),
           jnp.int32(0))
     buf, pos, _, _, _, accepted, speculated, _ = lax.while_loop(cond, body, st)
-    return buf, pos, accepted, speculated
+    # fold scalar stats into the buffer: ONE host pull
+    return jnp.concatenate([buf, jnp.stack([pos, accepted, speculated])])
 
 
 def speculative_generate_encoder_decoder(
@@ -254,10 +258,12 @@ def speculative_generate_encoder_decoder(
     gen_budget = max_gen_len + 1
     cache_len = gen_budget + gamma + 4
 
-    buf, pos, accepted, speculated = _codec_spec(
+    packed = _codec_spec(
         drafter_cfg, drafter_params, target_cfg, target_params, prompt,
         jnp.int32(n), int(gamma), gen_budget, processor, eos_ids,
         bool(first_target), bool(skip_sample_adjustment), cache_len, key)
-    rate = int(accepted) / int(speculated) if int(speculated) > 0 else 0.0
     import numpy as np
-    return np.asarray(buf)[:int(pos)].tolist(), rate
+    packed = np.asarray(packed)   # ONE pull (stats ride in the same array)
+    pos, accepted, speculated = (int(v) for v in packed[-3:])
+    rate = accepted / speculated if speculated > 0 else 0.0
+    return packed[:pos].tolist(), rate

@@ -143,6 +143,7 @@ class PagedContinuousBatcher(ContinuousBatcher):
         self._slot_pages_t: List[List[int]] = [[] for _ in range(num_slots)]
         self._slot_pages_d: List[List[int]] = [[] for _ in range(num_slots)]
         self._tables_dirty = False
+        self.preemptions = 0
 
     # ------------------------------------------------------------ page mgmt
     def _needed_now(self, length: int) -> int:
@@ -154,9 +155,33 @@ class PagedContinuousBatcher(ContinuousBatcher):
         row[:len(pages)] = pages
         return jnp.asarray(row)
 
+    def _preempt(self, slot: int):
+        """Pool pressure: evict this slot's request back to the queue FRONT
+        and recycle its pages (vLLM's recompute-mode preemption — the request
+        restarts from its prompt on re-admission; committed tokens are
+        regenerated, correctness is per-admission-keyed sampling as usual).
+        The reference relies on vLLM for this behavior (SURVEY.md §2.7
+        continuous-batching row); natively it is what makes an optimistic
+        page pool safe."""
+        req = self.slot_req[slot]
+        self._alloc_t.free_owner(("t", slot, req.request_id))
+        self._alloc_d.free_owner(("d", slot, req.request_id))
+        self._slot_pages_t[slot] = []
+        self._slot_pages_d[slot] = []
+        self.slot_req[slot] = None
+        self._slot_first_token[slot] = None
+        self.queue.insert(0, req)
+        self.preemptions += 1
+        self.state = dataclasses.replace(
+            self.state, finished=self.state.finished.at[slot].set(True))
+        self._tables_dirty = True
+
     def _top_up(self):
         """Ensure every active slot has pages for the next window; push the
-        updated tables to the device state."""
+        updated tables to the device state. Slots that cannot grow are
+        PREEMPTED (freed + requeued), newest-admitted first, so the pool can
+        never deadlock the whole batch — unless a single request alone
+        exceeds the pool, which is a sizing error and raises."""
         changed = self._tables_dirty
         self._tables_dirty = False
         pos = np.asarray(self.state.pos)
@@ -165,13 +190,22 @@ class PagedContinuousBatcher(ContinuousBatcher):
             if req is None:
                 continue
             need = self._needed_now(int(pos[slot]))
-            for alloc, pages, tag in (
-                    (self._alloc_t, self._slot_pages_t[slot], "t"),
-                    (self._alloc_d, self._slot_pages_d[slot], "d")):
-                if len(pages) < need:
-                    pages.extend(alloc.alloc((tag, slot, req.request_id),
-                                             need - len(pages)))
-                    changed = True
+            try:
+                for alloc, pages, tag in (
+                        (self._alloc_t, self._slot_pages_t[slot], "t"),
+                        (self._alloc_d, self._slot_pages_d[slot], "d")):
+                    if len(pages) < need:
+                        pages.extend(alloc.alloc((tag, slot, req.request_id),
+                                                 need - len(pages)))
+                        changed = True
+            except MemoryError:
+                if sum(r is not None for r in self.slot_req) == 1:
+                    raise MemoryError(
+                        f"page pool ({self.num_pages} pages) cannot back even "
+                        f"one request of length {int(pos[slot])}+gamma — "
+                        f"increase pool_tokens") from None
+                self._preempt(slot)
+                changed = True
         if changed:
             t_tbl = jnp.stack([self._table_row(p) for p in self._slot_pages_t])
             d_tbl = jnp.stack([self._table_row(p) for p in self._slot_pages_d])

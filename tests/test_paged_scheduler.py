@@ -50,3 +50,28 @@ def test_pages_recycled_and_capacity_respected():
     assert len(cb._alloc_d.free) == free0
     for rid in ids:
         assert len(done[rid].output_ids) == 8
+
+
+def test_preemption_under_pool_pressure():
+    """A pool too small to back all slots at max length must PREEMPT (free +
+    requeue), not crash; every request still completes and greedy outputs
+    still match the standalone oracle (restart-from-prompt regenerates the
+    same tokens deterministically)."""
+    prompts = [[3, 14, 15, 9, 2, 6], [1, 1, 2, 3, 5, 8],
+               [27, 4, 11, 30], [9, 9, 9, 1, 2]]
+    # 4 slots x 5 pages each at full length (+1 garbage) > the 12-page pool
+    # floor -> guaranteed mid-flight exhaustion once all four admit
+    cb = PagedContinuousBatcher(CFG, TARGET, CFG, TARGET, num_slots=4,
+                                gamma=3, max_prompt_len=16, max_new_tokens=12,
+                                page_size=8, pool_tokens=56, eos_tokens_id=())
+    ids = [cb.submit(p) for p in prompts]
+    done = cb.run()
+    assert sorted(done) == sorted(ids)
+    assert cb.preemptions > 0, "pool sizing did not exercise preemption"
+    for rid, p in zip(ids, prompts):
+        expect = autoregressive_generate(p, CFG, TARGET, max_gen_len=12,
+                                         eos_tokens_id=(),
+                                         key=jax.random.key(7))
+        assert done[rid].output_ids == expect, f"request {rid} diverged"
+    # all pages home again
+    assert len(cb._alloc_t.free) == len(cb._alloc_d.free)

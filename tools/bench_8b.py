@@ -29,8 +29,8 @@ import jax.numpy as jnp
 
 from bench import log, measure_ar, measure_spec  # noqa: E402
 
-DRAFT_LAYERS = 8
-TAIL_DAMP = 0.08
+DRAFT_LAYERS = 4   # 4-of-32 prefix: the 8L drafter costs ~5.8 ms/draft
+TAIL_DAMP = 0.08   # step at 8B (head included) and caps spec/AR at ~1.9x
 
 
 def build_8b(quant: str):
@@ -82,7 +82,10 @@ def main():
     ap.add_argument("--gamma", type=int, default=8)
     ap.add_argument("--gen", type=int, default=256)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--draft-layers", type=int, default=DRAFT_LAYERS)
     args = ap.parse_args()
+    global DRAFT_LAYERS
+    DRAFT_LAYERS = args.draft_layers
     modes = args.modes.split(",")
     log(f"backend={jax.default_backend()} modes={modes} gamma={args.gamma}")
 

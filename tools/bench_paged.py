@@ -119,21 +119,30 @@ def bench_serving(paged: bool, n_requests=16, slots=8, gen=128, gamma=8):
     kw = dict(gamma=gamma, num_slots=slots, windows_per_sync=8,
               max_new_tokens=gen)
     if paged:
+        # pool backs every slot at full length: measure the paged path's
+        # throughput, not preemption thrash (pool-pressure behavior is
+        # covered by tests/test_paged_scheduler.py)
+        S = 256 + gen + gamma + 2
         b = PagedContinuousBatcher(d_cfg, drafter, t_cfg, target,
-                                   page_size=64, **kw)
+                                   page_size=64,
+                                   pool_tokens=(slots + 1) * S, **kw)
     else:
         b = ContinuousBatcher(d_cfg, drafter, t_cfg, target, **kw)
-    for p in prompts:
-        b.submit(p, max_new_tokens=gen)
-    t0 = time.time()
-    done = b.run()
-    dt = time.time() - t0
-    toks = sum(len(r.output_ids) for r in done.values())
-    ttfts = sorted(r.metrics.ttft for r in done.values() if r.metrics)
-    p50 = ttfts[len(ttfts) // 2] * 1000 if ttfts else float("nan")
     label = "paged" if paged else "slotted"
-    log(f"  {label}: {toks} tokens in {dt:.2f}s = {toks / dt:.0f} tok/s "
-        f"aggregate, p50 TTFT {p50:.0f} ms")
+    for rnd in ("cold", "warm"):   # first pass pays window-program compiles
+        for p in prompts:
+            b.submit(p, max_new_tokens=gen)
+        t0 = time.time()
+        done = b.run()
+        dt = time.time() - t0
+        toks = sum(len(r.output_ids) for r in done.values())
+        ttfts = sorted(r.metrics.ttft for r in done.values() if r.metrics)
+        p50 = ttfts[len(ttfts) // 2] * 1000 if ttfts else float("nan")
+        log(f"  {label} ({rnd}): {toks} tokens in {dt:.2f}s = "
+            f"{toks / dt:.0f} tok/s aggregate, p50 TTFT {p50:.0f} ms")
+        b.completed.clear()
+    if paged:
+        log(f"  paged preemptions: {b.preemptions}")
     return toks / dt
 
 
