@@ -75,6 +75,7 @@ def measure_ttft(cfg, target, prompt, proc, reps=3):
 
 
 def main():
+    global DRAFT_LAYERS
     from specdec_tpu.sampling.processors import MultinomialProcessor
 
     ap = argparse.ArgumentParser()
@@ -84,7 +85,6 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--draft-layers", type=int, default=DRAFT_LAYERS)
     args = ap.parse_args()
-    global DRAFT_LAYERS
     DRAFT_LAYERS = args.draft_layers
     modes = args.modes.split(",")
     log(f"backend={jax.default_backend()} modes={modes} gamma={args.gamma}")
