@@ -223,9 +223,7 @@ class PagedContinuousBatcher(ContinuousBatcher):
         return (len(self._alloc_t.free) >= need and
                 len(self._alloc_d.free) >= need)
 
-    def _admit(self, slot: int, req: Request):
-        import time as _time
-
+    def _admit(self, slot: int, req: Request, sync: bool = True):
         P = self.max_prompt_len
         n = min(len(req.prompt_ids), P)
         need = self._needed_now(n + 1)
@@ -242,13 +240,13 @@ class PagedContinuousBatcher(ContinuousBatcher):
             self._table_row(self._slot_pages_d[slot]),
             self.processor, self.eos_ids, self._next_key())
         self.slot_req[slot] = req
-        # TTFT stamps at the admission prefill that commits tok0 (see
-        # ContinuousBatcher._admit); the sync keeps the stamp honest
-        _ = np.asarray(self.state.pos)
-        self._slot_first_token[slot] = _time.time()
         from specdec_tpu.engine.metrics import RequestMetrics
         req.metrics = RequestMetrics(prompt_tokens=n,
                                      start_time=req.submit_time)
+        # TTFT stamps at the admission prefill that commits tok0 (see
+        # ContinuousBatcher._stamp_admissions); bursts share one sync
+        if sync:
+            self._stamp_admissions([slot])
 
     def _harvest(self, slot: int, buf, pos, plen, accepted, speculated):
         req = self.slot_req[slot]
@@ -263,10 +261,14 @@ class PagedContinuousBatcher(ContinuousBatcher):
             self._tables_dirty = True
 
     def step(self):
+        admitted = []
         for slot in range(self.B):
             if self.slot_req[slot] is None and self.queue:
                 if self._can_admit(self.queue[0]):
-                    self._admit(slot, self.queue.pop(0))
+                    self._admit(slot, self.queue.pop(0), sync=False)
+                    admitted.append(slot)
+        if admitted:
+            self._stamp_admissions(admitted)
         if all(r is None for r in self.slot_req):
             return False
         self._top_up()

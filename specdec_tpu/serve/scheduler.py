@@ -182,7 +182,7 @@ class ContinuousBatcher:
         self._key_ctr += 1
         return jax.random.fold_in(self.key, self._key_ctr)
 
-    def _admit(self, slot: int, req: Request):
+    def _admit(self, slot: int, req: Request, sync: bool = True):
         P = self.max_prompt_len
         prompt = np.zeros((P,), np.int32)
         n = min(len(req.prompt_ids), P)
@@ -193,15 +193,22 @@ class ContinuousBatcher:
             jnp.int32(n), jnp.int32(req.max_new_tokens), self.processor,
             self.eos_ids, self._next_key())
         self.slot_req[slot] = req
-        # the first generated token is committed by the admission prefill
-        # itself (tok0 above), so TTFT stamps HERE — one whole-array sync
-        # makes the stamp honest (with windows_per_sync>1 the next host sync
-        # can be many windows later; round-1 stamped there and overstated
-        # TTFT — VERDICT weak #9)
-        _ = np.asarray(self.state.pos)
-        self._slot_first_token[slot] = time.time()
         req.metrics = RequestMetrics(prompt_tokens=n,
                                      start_time=req.submit_time)
+        if sync:
+            self._stamp_admissions([slot])
+
+    def _stamp_admissions(self, slots: List[int]):
+        """The first generated token is committed by the admission prefill
+        itself (tok0 in _admit_slot), so TTFT stamps at admission — one
+        whole-array sync makes the stamp honest (with windows_per_sync>1 the
+        next host sync can be many windows later; round-1 stamped there and
+        overstated TTFT — VERDICT weak #9). Batched: a burst of admissions
+        shares ONE sync instead of paying an RPC round-trip each."""
+        _ = np.asarray(self.state.pos)
+        now = time.time()
+        for slot in slots:
+            self._slot_first_token[slot] = now
 
     def _harvest(self, slot: int, buf, pos, plen, accepted, speculated):
         req = self.slot_req[slot]
@@ -226,9 +233,13 @@ class ContinuousBatcher:
 
     def step(self):
         """Fill free slots from the queue, then run one spec window."""
+        admitted = []
         for slot in range(self.B):
             if self.slot_req[slot] is None and self.queue:
-                self._admit(slot, self.queue.pop(0))
+                self._admit(slot, self.queue.pop(0), sync=False)
+                admitted.append(slot)
+        if admitted:
+            self._stamp_admissions(admitted)
         if all(r is None for r in self.slot_req):
             return False
         return self._window_and_harvest()

@@ -80,7 +80,8 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("modes", nargs="?", default="int8,int4")
-    ap.add_argument("--gamma", type=int, default=8)
+    ap.add_argument("--gamma", default="8",
+                    help="comma list; pair built once, swept across gammas")
     ap.add_argument("--gen", type=int, default=256)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--draft-layers", type=int, default=DRAFT_LAYERS)
@@ -99,16 +100,19 @@ def main():
         ttft = measure_ttft(cfg, target, prompt, proc)
         ar_tps = measure_ar(cfg, target, prompt, args.gen, proc,
                             reps=args.reps)
-        spec_tps, acc = measure_spec(d_cfg, drafter, cfg, target, prompt,
-                                     args.gen, args.gamma, proc,
-                                     reps=args.reps)
-        ratio = spec_tps / ar_tps if ar_tps else 0.0
-        rows.append((mode, ar_tps, spec_tps, acc, ratio, ttft))
-        log(f"8B {mode}: AR {ar_tps:.1f} spec {spec_tps:.1f} "
-            f"({ratio:.2f}x, acc {acc:.3f}), TTFT {ttft:.0f} ms")
+        for gamma in (int(g) for g in str(args.gamma).split(",")):
+            spec_tps, acc = measure_spec(d_cfg, drafter, cfg, target, prompt,
+                                         args.gen, gamma, proc,
+                                         reps=args.reps)
+            ratio = spec_tps / ar_tps if ar_tps else 0.0
+            rows.append((f"{mode}/g{gamma}", ar_tps, spec_tps, acc, ratio,
+                         ttft))
+            log(f"8B {mode} gamma={gamma}: AR {ar_tps:.1f} "
+                f"spec {spec_tps:.1f} ({ratio:.2f}x, acc {acc:.3f}), "
+                f"TTFT {ttft:.0f} ms")
         del target, drafter
 
-    log("\n=== 8B summary (gamma=%d, gen=%d) ===" % (args.gamma, args.gen))
+    log("\n=== 8B summary (gen=%d, drafter %dL) ===" % (args.gen, DRAFT_LAYERS))
     log(f"{'mode':6} {'AR tok/s':>9} {'spec tok/s':>11} {'accept':>7} "
         f"{'spec/AR':>8} {'TTFT ms':>8}")
     for m, a, s, c, r, t in rows:
