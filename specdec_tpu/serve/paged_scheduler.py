@@ -147,8 +147,14 @@ class PagedContinuousBatcher(ContinuousBatcher):
 
     # ------------------------------------------------------------ page mgmt
     def _needed_now(self, length: int) -> int:
-        """Pages needed to cover `length` tokens plus one gamma window."""
-        return required_pages(length + self.gamma + 2, self.page_size)
+        """Pages needed to cover `length` tokens plus one full device
+        dispatch: windows_per_sync windows can each commit up to gamma+1
+        tokens before the next host sync (and page top-up). Provisioning
+        only one window ahead let multi-window dispatches write past the
+        provisioned pages into the shared garbage page — measured output
+        corruption with windows_per_sync=4 (regression test covers it)."""
+        horizon = self.windows_per_sync * (self.gamma + 1) + 1
+        return required_pages(length + horizon, self.page_size)
 
     def _table_row(self, pages: List[int]) -> jax.Array:
         row = np.zeros((self.max_pages_per_seq,), np.int32)

@@ -75,3 +75,23 @@ def test_preemption_under_pool_pressure():
         assert done[rid].output_ids == expect, f"request {rid} diverged"
     # all pages home again
     assert len(cb._alloc_t.free) == len(cb._alloc_d.free)
+
+
+def test_paged_multiwindow_sync_matches_oracle():
+    """windows_per_sync>1 runs several gamma windows per device dispatch;
+    page provisioning must cover the whole dispatch horizon. (Regression:
+    provisioning one window ahead let later windows scatter K/V into the
+    shared garbage page — all outputs diverged.)"""
+    prompts = [[3, 14, 15, 9, 2, 6], [1, 1, 2, 3, 5, 8, 13, 21],
+               [27, 4], [9, 9, 9, 1, 2]]
+    cb = PagedContinuousBatcher(CFG, TARGET, CFG, TARGET, num_slots=2,
+                                gamma=3, max_prompt_len=32, max_new_tokens=24,
+                                page_size=8, eos_tokens_id=(),
+                                windows_per_sync=4)
+    ids = [cb.submit(p) for p in prompts]
+    done = cb.run()
+    for rid, p in zip(ids, prompts):
+        expect = autoregressive_generate(p, CFG, TARGET, max_gen_len=24,
+                                         eos_tokens_id=(),
+                                         key=jax.random.key(7))
+        assert done[rid].output_ids == expect, f"request {rid} diverged"
