@@ -40,6 +40,23 @@ def main():
     rng = np.random.default_rng(3)
     V = t_cfg.vocab_size
 
+    # device-table NASD: the fully-jitted variant (zero host syncs/window)
+    from specdec_tpu.ngram import device_ngram_assisted_generate
+    prompt0 = [int(t) for t in rng.integers(1, V, size=60)]
+    out, rate, table = device_ngram_assisted_generate(   # warm/compile
+        prompt0, t_cfg, target, n=3, gamma=args.gamma, max_gen_len=args.gen,
+        eos_tokens_id=(), logits_processor=proc, key=jax.random.key(5))
+    best_dev = 0.0
+    for i in range(args.reps):
+        t0 = time.time()
+        out, rate, table = device_ngram_assisted_generate(
+            prompt0, t_cfg, target, n=3, table=table, gamma=args.gamma,
+            max_gen_len=args.gen, eos_tokens_id=(), logits_processor=proc,
+            key=jax.random.key(6 + i))
+        best_dev = max(best_dev, len(out) / (time.time() - t0))
+    log(f"device-table NASD (B=1): {best_dev:.1f} tok/s "
+        f"(acceptance {rate:.3f} on carried-over table)")
+
     rows = []
     for B in (1, 4, 8):
         prompts = [[int(t) for t in rng.integers(1, V, size=60)]
