@@ -10,7 +10,7 @@ same output-file naming (ref :117-121: method suffix + ``_gpu`` file + combined
 JSON, :326-345), the telemetry perf-callback cross-wiring (ref :216-257).
 
 TPU-specific additions (new vars, all optional):
-  QUANTIZATION=none|int8|nf4     target weight-only quantization
+  QUANTIZATION=none|int8|int4|nf4|fp4   target weight-only quantization
   MODEL_DTYPE=bfloat16|float32   compute dtype
   TP_SIZE / DP_SIZE              mesh axes (also honors VLLM_TENSOR_PARALLEL_SIZE
                                  for config-compat with the reference's vLLM tier)

@@ -126,3 +126,27 @@ def test_phase_timer_and_annotations():
     assert phases["draft"] >= 0.02
     with annotate("verify"):
         pass
+
+
+def test_sharded_continuous_batching_matches_unsharded(models):
+    """Serving composes with TP: the continuous batcher driving a TP-sharded
+    target (replicated drafter) must complete the same requests with the
+    same outputs as the single-device batcher."""
+    from specdec_tpu.serve.scheduler import ContinuousBatcher
+
+    target, drafter = models
+
+    def run(t, d):
+        cb = ContinuousBatcher(CFG, d, CFG, t, num_slots=2, gamma=3,
+                               max_prompt_len=16, max_new_tokens=10,
+                               windows_per_sync=2, eos_tokens_id=())
+        ids = [cb.submit(p) for p in PROMPTS]
+        done = cb.run()
+        return [done[i].output_ids for i in ids]
+
+    base = run(target, drafter)
+    mesh = build_mesh(jax.devices(), tp=4, dp=2)
+    t_sharded = shard_params(target, CFG, mesh, replicated=False)
+    d_repl = shard_params(drafter, CFG, mesh, replicated=True)
+    sharded = run(t_sharded, d_repl)
+    assert sharded == base
