@@ -50,6 +50,50 @@ def acceptance_proxy(t_cfg: ModelConfig, target_params, d_cfg: ModelConfig,
     return acc, agree
 
 
+@partial(jax.jit, static_argnames=("t_cfg", "batch_size", "seq_len"))
+def _sample_on_policy(t_cfg: ModelConfig, target_params, key,
+                      batch_size: int, seq_len: int) -> jax.Array:
+    """[B, L] token batches sampled FROM the target (temperature-1
+    multinomial, 1 random seed token per row)."""
+    from specdec_tpu.core.cache import init_cache
+    from specdec_tpu.core.model import forward_step
+
+    V = t_cfg.vocab_size
+    k0, key = jax.random.split(key)
+    cache = init_cache(t_cfg, batch_size, seq_len + 1)
+    tok = jax.random.randint(k0, (batch_size, 1), 1, V, dtype=jnp.int32)
+    first = tok
+
+    def step(carry, k):
+        tok, cache = carry
+        logits, cache = forward_step(t_cfg, target_params, tok, cache)
+        nxt = jax.random.categorical(k, logits[:, 0]).astype(jnp.int32)[:, None]
+        return (nxt, cache), nxt[:, 0]
+
+    (_, _), rest = jax.lax.scan(step, (tok, cache),
+                                jax.random.split(key, seq_len - 1))
+    return jnp.concatenate([first, rest.T], axis=1)
+
+
+def on_policy_sampler(t_cfg: ModelConfig, target_params,
+                      batch_size: int = 8, seq_len: int = 128):
+    """Batch sampler for ``distill_drafter`` drawing sequences from the
+    TARGET itself. The acceptance rate that matters is measured on
+    target-generated prefixes — speculative decoding only ever conditions
+    the drafter on tokens the target committed — so on-policy distillation
+    optimizes the deployed quantity (standard practice for real drafter
+    training). Measured caveats: on tiny synthetic targets uniform and
+    on-policy batches distill equally (conditionals barely vary by
+    context: both lifted a 2L/4L non-tied pair 0.10 -> 0.23 acceptance
+    proxy), and distilling a WEIGHT-TIED prefix drafter on uniform data
+    actively degrades it (round-1 finding, CLAUDE.md) — prefer this
+    sampler whenever the drafter is trained at all."""
+    def sampler(k):
+        return _sample_on_policy(t_cfg, target_params, k, batch_size,
+                                 seq_len)
+    return sampler
+
+
 def distill_drafter(
     t_cfg: ModelConfig, target_params,
     d_cfg: ModelConfig, drafter_params,

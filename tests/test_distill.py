@@ -44,3 +44,24 @@ def test_distilled_drafter_runs_spec_decode():
         logits_processor=MultinomialProcessor(1.0), key=jax.random.key(4))
     assert len(out) == 12
     assert 0.0 <= rate <= 1.0
+
+
+def test_on_policy_sampler_and_distill():
+    """on_policy_sampler yields target-sampled batches (right shape/range)
+    and distillation on them improves the on-policy acceptance proxy."""
+    from specdec_tpu.engine.distill import on_policy_sampler
+
+    target = init_params(T_CFG, jax.random.key(0), scale=0.2)
+    drafter = init_params(D_CFG, jax.random.key(3), scale=0.2)
+    sampler = on_policy_sampler(T_CFG, target, batch_size=4, seq_len=24)
+    toks = sampler(jax.random.key(7))
+    assert toks.shape == (4, 24)
+    assert int(toks.min()) >= 0 and int(toks.max()) < T_CFG.vocab_size
+
+    a0, _ = acceptance_proxy(T_CFG, target, D_CFG, drafter, toks)
+    distilled, acc = distill_drafter(T_CFG, target, D_CFG, drafter, steps=60,
+                                     batch_size=4, seq_len=24,
+                                     batch_sampler=sampler,
+                                     key=jax.random.key(8))
+    a1, _ = acceptance_proxy(T_CFG, target, D_CFG, distilled, toks)
+    assert float(a1) > float(a0)
