@@ -91,14 +91,18 @@ class VLLMEngineManager:
         tp = self.config.tensor_parallel_size
         if self.config.pipeline_parallel_size > 1:
             # The reference forwards this to vLLM (ref engine/vllm_engine.py:
-            # 45,94). The native engine shards tensor-wise over the mesh
-            # 'model' axis instead (GSPMD subsumes the layer split —
-            # docs/PARITY.md); fold the requested stages into TP so the
-            # requested chip count is still used, and say so.
+            # 45,94). Natively, a GPipe stage-sharded forward exists for the
+            # full-sequence/verify shape (parallel/pipeline.py), but cached
+            # token-by-token DECODE under PP serializes on the inter-stage
+            # hop every token — so the serving engine shards tensor-wise
+            # over the mesh 'model' axis instead (docs/PARITY.md); fold the
+            # requested stages into TP so the requested chip count is still
+            # used, and say so.
             import warnings
             warnings.warn(
-                "pipeline_parallel_size > 1: no native pipeline axis; "
-                "folding stages into tensor parallelism "
+                "pipeline_parallel_size > 1: serving decode uses tensor "
+                "parallelism (native PP covers the uncached forward only — "
+                "parallel/pipeline.py); folding stages into TP "
                 f"(tp {tp} -> {tp * self.config.pipeline_parallel_size})",
                 stacklevel=2)
             tp = tp * self.config.pipeline_parallel_size
