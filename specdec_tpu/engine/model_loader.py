@@ -136,7 +136,8 @@ def load_models(
 
     target, tok_path = load_one(target_model_path, quant=quantization)
     drafter = None
-    if drafter_model_path:
+    layerskip = (drafter_model_path or "").startswith("layerskip:")
+    if drafter_model_path and not layerskip:
         drafter, d_tok_path = load_one(drafter_model_path,
                                        quant=drafter_quantization)
         tok_path = tok_path or d_tok_path
@@ -170,6 +171,28 @@ def load_models(
         drafter["params"] = quantize_params(drafter["params"],
                                             kind=drafter_quantization,
                                             fuse=True)
+
+    if layerskip:
+        # self-speculative drafting: the drafter is the TARGET's first k
+        # layers with the shared final norm/head (LayerSkip-style early
+        # exit). Sliced AFTER target quantization so the drafter shares the
+        # quantized containers (layer-stacked pytrees slice uniformly). No
+        # second checkpoint, guaranteed shared tokenizer/vocab, and the
+        # draft distribution is structurally aligned with the target —
+        # bench.py's measured pair construction as a loader spec
+        # (DRAFTER_MODEL=layerskip:4).
+        k = int(drafter_model_path.split(":", 1)[1])
+        t_cfg = target["cfg"]
+        assert 0 < k < t_cfg.num_layers, \
+            f"layerskip:{k} needs 1..{t_cfg.num_layers - 1} layers"
+        drafter = {
+            "cfg": t_cfg.replace(num_layers=k),
+            "params": dict(target["params"],
+                           layers=jax.tree.map(lambda x: x[:k],
+                                               target["params"]["layers"])),
+        }
+        if "quantized" in target:
+            drafter["quantized"] = target["quantized"]
 
     if mesh is not None:
         from specdec_tpu.parallel.mesh import shard_params

@@ -83,3 +83,30 @@ def test_generation_from_local_checkpoint(checkpoint_dir):
     assert rate == 1.0  # self-draft greedy
     text = bundle["tokenizer"].decode(out, skip_special_tokens=True)
     assert isinstance(text, str)
+
+
+def test_layerskip_drafter_spec():
+    """DRAFTER_MODEL=layerskip:k builds the drafter from the target's first
+    k layers — dense and quantized — and greedy self-speculation works
+    through the bundle (quantized containers slice uniformly; the drafter
+    SHARES the target's layer buffers)."""
+    from specdec_tpu.engine.model_loader import load_models
+    from specdec_tpu.sampling.base_decoding import autoregressive_generate
+    from specdec_tpu.sampling.speculative import speculative_generate
+
+    for quant in ("none", "int8"):
+        bundle = load_models("synthetic:tiny", "layerskip:2",
+                             quantization=quant, drafter_quantization=quant)
+        t, d = bundle["target"], bundle["drafter"]
+        assert d["cfg"].num_layers == 2
+        prompt = [5, 9, 33, 2, 41, 7]
+        out, rate = speculative_generate(
+            prompt, d["cfg"], d["params"], t["cfg"], t["params"], gamma=3,
+            max_gen_len=10, eos_tokens_id=(), key=jax.random.key(1))
+        ar = autoregressive_generate(prompt, t["cfg"], t["params"],
+                                     max_gen_len=10, eos_tokens_id=())
+        assert len(out) == 10
+        # a 2-of-4-layer prefix drafter is aligned but not exact:
+        # acceptance is a real number in (0, 1]
+        assert 0.0 <= rate <= 1.0
+        assert out is not None and ar is not None
