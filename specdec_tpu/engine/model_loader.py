@@ -85,11 +85,38 @@ class SyntheticTokenizer:
 
 def _synthetic(name: str, dtype, quantization: str = "none") -> Dict[str, Any]:
     preset = name.split(":", 1)[1] if ":" in name else name
-    if preset not in SYNTHETIC_PRESETS:
-        raise ValueError(f"unknown synthetic preset {preset!r}; "
+    # "<preset>-ls<k>": LayerSkip-construction variant — residual outputs of
+    # layers >= k damped to 0.08 so the model has the gradual-refinement
+    # property real checkpoints have (early-exit drafts agree with the full
+    # forward; random full-strength deep layers give ~0 agreement). Pair
+    # with DRAFTER_MODEL=layerskip:<k> to reproduce bench.py's measured
+    # self-speculative operating point through the CLI/benchmark surface.
+    damp_from = None
+    base = preset
+    if "-ls" in preset:
+        base, _, k = preset.rpartition("-ls")
+        damp_from = int(k)
+    if base not in SYNTHETIC_PRESETS:
+        raise ValueError(f"unknown synthetic preset {base!r}; "
                          f"choose from {sorted(SYNTHETIC_PRESETS)}")
-    cfg = ModelConfig(dtype=dtype, **SYNTHETIC_PRESETS[preset])
-    seed = abs(hash(preset)) % (2 ** 31)
+    cfg = ModelConfig(dtype=dtype, **SYNTHETIC_PRESETS[base])
+    seed = abs(hash(base)) % (2 ** 31)
+    if damp_from is not None:
+        assert quantization == "none" or cfg.num_layers > damp_from
+        import jax.numpy as jnp_
+        params = init_params(cfg, jax.random.key(seed), scale=0.02)
+        mask = (jnp_.arange(cfg.num_layers) >= damp_from).astype(jnp_.float32)
+        sv = (1.0 - mask) + mask * 0.08
+        layers = dict(params["layers"])
+        for nm in ("wo", "w_down"):
+            layers[nm] = (layers[nm].astype(jnp_.float32)
+                          * sv[:, None, None]).astype(cfg.dtype)
+        params = dict(params, layers=layers)
+        if quantization != "none":
+            from specdec_tpu.quant import quantize_params
+            params = quantize_params(params, kind=quantization, fuse=True)
+            return {"cfg": cfg, "params": params, "quantized": quantization}
+        return {"cfg": cfg, "params": params}
     if quantization != "none":
         # build directly into quantized form, one layer at a time — an 8B
         # bf16 stack (~16 GB) would fill v5e HBM before quantization

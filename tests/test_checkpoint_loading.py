@@ -110,3 +110,22 @@ def test_layerskip_drafter_spec():
         # acceptance is a real number in (0, 1]
         assert 0.0 <= rate <= 1.0
         assert out is not None and ar is not None
+
+
+def test_damped_layerskip_preset_accepts():
+    """synthetic:<preset>-ls<k> + layerskip:<k> reproduces the measured
+    self-speculative operating point through the loader: acceptance well
+    above the ~0 of an undamped random pair."""
+    from specdec_tpu.engine.model_loader import load_models
+    from specdec_tpu.sampling.processors import MultinomialProcessor
+    from specdec_tpu.sampling.speculative import speculative_generate
+
+    b = load_models("synthetic:tiny-ls2", "layerskip:2", quantization="int8",
+                    drafter_quantization="int8")
+    t, d = b["target"], b["drafter"]
+    out, rate = speculative_generate(
+        [5, 9, 33, 2, 41, 7], d["cfg"], d["params"], t["cfg"], t["params"],
+        gamma=4, max_gen_len=32, eos_tokens_id=(),
+        logits_processor=MultinomialProcessor(1.0), key=jax.random.key(1))
+    assert len(out) == 32
+    assert rate > 0.3, rate
