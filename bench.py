@@ -173,12 +173,18 @@ def main():
     speedup = spec_tps / ar_tps if ar_tps > 0 else 0.0
     log(f"speedup vs {quant} AR: {speedup:.2f}x")
 
-    from specdec_tpu.engine.gamma_tuner import best_gamma
+    from specdec_tpu.engine.gamma_tuner import (
+        best_gamma, conditional_from_reference_rate,
+    )
     cost_ratio = DRAFT_LAYERS / t_cfg.num_layers  # bandwidth-bound approx
-    g_opt, s_pred = best_gamma(acc, cost_ratio)
-    log(f"gamma model: measured (reference-metric) acceptance {acc:.3f}, cost "
-        f"ratio {cost_ratio:.2f} -> predicted best gamma {g_opt} "
-        f"(predicted speedup {s_pred:.2f}x)")
+    # measured on the gen-512 sweep: window = c_v + gamma*ratio*c_v +
+    # 0.57*c_v fixed (sampling/commit/accept work per window)
+    a_cond = conditional_from_reference_rate(acc, GAMMA)
+    g_opt, s_pred = best_gamma(a_cond, cost_ratio, window_overhead=0.57)
+    log(f"gamma model: reference-metric acceptance {acc:.3f} -> conditional "
+        f"{a_cond:.3f}, cost ratio {cost_ratio:.2f} -> predicted best gamma "
+        f"{g_opt} (predicted speedup {s_pred:.2f}x; measured {speedup:.2f}x "
+        f"at gamma {GAMMA})")
 
     metric = ("spec_decode_tokens_per_sec" if quant == "none"
               else f"spec_decode_{quant}_tokens_per_sec")

@@ -33,6 +33,27 @@ def expected_speedup(acceptance: float, gamma: int,
     return tokens / cost
 
 
+def conditional_from_reference_rate(rate: float, gamma: int) -> float:
+    """Invert the reference acceptance METRIC (accepted/speculated =
+    E[n]/gamma, ref: sampling/speculative_decoding.py:189) to the per-draft
+    conditional acceptance probability ``a`` the speedup model needs, using
+    E[n] = (a - a^(gamma+1)) / (1 - a) and bisection. Feeding the reference
+    metric directly into the model understates ``a`` badly at high gamma
+    (measured: rate 0.81 at gamma 8 is a ~0.95 conditional), which made the
+    round-1 advisory predict gamma 4 where the measured optimum was 10-12."""
+    rate = min(max(rate, 0.0), 0.999)
+    target = rate * gamma
+    lo, hi = 0.0, 0.99999
+    for _ in range(60):
+        mid = (lo + hi) / 2
+        e_n = (mid - mid ** (gamma + 1)) / (1.0 - mid)
+        if e_n < target:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2
+
+
 def best_gamma(acceptance: float, cost_ratio: float,
                window_overhead: float = 0.0,
                max_gamma: int = 16) -> Tuple[int, float]:

@@ -251,3 +251,24 @@ def test_vllm_compat_initialize_honors_max_tokens(monkeypatch):
     mgr2 = VLLMEngineManager(cfg)
     assert mgr2.initialize(num_slots=2)
     assert mgr2.batcher.default_max_new == 19
+
+
+def test_gamma_tuner_calibrated_against_measured_sweep():
+    """The tuner must reproduce the on-chip gen-512 int8 sweep: reference
+    acceptance 0.811 at gamma 8 inverts to a ~0.95 conditional, and with
+    the measured window overhead (0.57 AR-steps) the predicted speedup at
+    gamma 10 lands within 5% of the measured 2.56x, with the optimum in
+    the measured 10-13 band (round-1's uncalibrated call predicted 4)."""
+    from specdec_tpu.engine.gamma_tuner import (
+        best_gamma, conditional_from_reference_rate, expected_speedup,
+    )
+    a = conditional_from_reference_rate(0.811, 8)
+    assert 0.93 < a < 0.97, a
+    s10 = expected_speedup(a, 10, 4 / 22, window_overhead=0.57)
+    assert abs(s10 - 2.56) / 2.56 < 0.05, s10
+    # the model's optimum sits on a flat top (2.64-2.66x across 12-16);
+    # measured decays past 12 only because acceptance itself falls with
+    # gamma, which the constant-a model doesn't capture
+    g, s = best_gamma(a, 4 / 22, window_overhead=0.57)
+    assert 10 <= g <= 16, (g, s)
+    assert s > expected_speedup(a, 4, 4 / 22, window_overhead=0.57) * 1.25
