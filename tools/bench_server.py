@@ -1,0 +1,79 @@
+"""Open-loop serving benchmark on chip: rate-paced arrivals into the
+continuous batcher (the native equivalent of the reference's vLLM benchmark
+mode, ref: engine/vllm_benchmark.py open-loop AUTO_RATE path).
+
+Reports per-rate: aggregate throughput, p50/p99 TTFT, mean latency.
+
+Usage: python tools/bench_server.py [--rates 2,4,8] [--n 24] [--gen 128]
+"""
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import jax
+
+from bench import build_pair, log
+
+
+def main():
+    from specdec_tpu.engine.server_benchmark import run_server_benchmark
+    from specdec_tpu.serve.scheduler import ContinuousBatcher
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rates", default="2,4,8")
+    ap.add_argument("--n", type=int, default=24)
+    ap.add_argument("--gen", type=int, default=128)
+    ap.add_argument("--gamma", type=int, default=8)
+    ap.add_argument("--slots", type=int, default=8)
+    ap.add_argument("--quant", default="int8")
+    args = ap.parse_args()
+    rates = [float(r) for r in args.rates.split(",")]
+    log(f"backend={jax.default_backend()} rates={rates}")
+
+    t_cfg, d_cfg, target, drafter = build_pair(quant=args.quant)
+    rng = np.random.default_rng(1)
+    prompts = [[int(t) for t in rng.integers(1, t_cfg.vocab_size,
+                                             size=int(n))]
+               for n in rng.integers(30, 200, size=args.n)]
+
+    def fresh_batcher():
+        return ContinuousBatcher(d_cfg, drafter, t_cfg, target,
+                                 num_slots=args.slots, gamma=args.gamma,
+                                 max_new_tokens=args.gen,
+                                 windows_per_sync=8, eos_tokens_id=())
+
+    # warm pass (compiles)
+    log("warming (compiles)...")
+    b = fresh_batcher()
+    for p in prompts[:args.slots + 1]:
+        b.submit(p)
+    b.run()
+
+    rows = []
+    for rate in rates:
+        res = run_server_benchmark(fresh_batcher(), prompts, rate=rate,
+                                   method_name=f"server@{rate}")
+        reqs = [bm.requests[0] for bm in res.batches]
+        ttfts = sorted(r.ttft for r in reqs)
+        toks = sum(r.generated_tokens for r in reqs)
+        dur = res.end_time - res.start_time
+        p50 = ttfts[len(ttfts) // 2] * 1000
+        p99 = ttfts[min(len(ttfts) - 1, int(len(ttfts) * 0.99))] * 1000
+        lat = float(np.mean([r.total_latency for r in reqs])) * 1000
+        rows.append((rate, toks / dur, p50, p99, lat, len(reqs)))
+        log(f"rate {rate:4.1f} req/s: {toks / dur:7.1f} tok/s aggregate, "
+            f"TTFT p50 {p50:6.0f} ms p99 {p99:6.0f} ms, "
+            f"mean latency {lat:6.0f} ms ({len(reqs)} reqs)")
+
+    print(json.dumps([
+        {"rate": r, "aggregate_tps": round(t, 1), "ttft_p50_ms": round(a),
+         "ttft_p99_ms": round(b_), "mean_latency_ms": round(c), "requests": n}
+        for r, t, a, b_, c, n in rows]))
+
+
+if __name__ == "__main__":
+    main()
