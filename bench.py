@@ -88,8 +88,7 @@ def build_pair(quant: str = "none", tail_damp: float = None):
     drafter = dict(target)
     drafter["layers"] = jax.tree.map(lambda x: x[:DRAFT_LAYERS],
                                      target["layers"])
-    probe = target["embed"] if quant == "none" else target["embed"]
-    _ = np.asarray(probe[0, :1])  # real barrier
+    _ = np.asarray(target["embed"][0, :1])  # real barrier
     log(f"params built in {time.time() - t0:.1f}s (target 22L/2048d ~1.1B "
         f"quant={quant}, layer-skip drafter {DRAFT_LAYERS}L, "
         f"tail damp {tail_damp})")

@@ -102,7 +102,10 @@ def _synthetic(name: str, dtype, quantization: str = "none") -> Dict[str, Any]:
     cfg = ModelConfig(dtype=dtype, **SYNTHETIC_PRESETS[base])
     seed = abs(hash(base)) % (2 ** 31)
     if damp_from is not None:
-        assert quantization == "none" or cfg.num_layers > damp_from
+        if not 0 < damp_from < cfg.num_layers:
+            raise ValueError(
+                f"-ls{damp_from} needs 1..{cfg.num_layers - 1} for "
+                f"{base!r} ({cfg.num_layers} layers)")
         import jax.numpy as jnp_
         params = init_params(cfg, jax.random.key(seed), scale=0.02)
         mask = (jnp_.arange(cfg.num_layers) >= damp_from).astype(jnp_.float32)

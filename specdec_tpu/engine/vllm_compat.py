@@ -99,13 +99,22 @@ class VLLMEngineManager:
             # requested stages into TP so the requested chip count is still
             # used, and say so.
             import warnings
-            warnings.warn(
-                "pipeline_parallel_size > 1: serving decode uses tensor "
-                "parallelism (native PP covers the uncached forward only — "
-                "parallel/pipeline.py); folding stages into TP "
-                f"(tp {tp} -> {tp * self.config.pipeline_parallel_size})",
-                stacklevel=2)
-            tp = tp * self.config.pipeline_parallel_size
+            folded = tp * self.config.pipeline_parallel_size
+            if len(jax.devices()) >= folded:
+                warnings.warn(
+                    "pipeline_parallel_size > 1: serving decode uses tensor "
+                    "parallelism (native PP covers the uncached forward only "
+                    "— parallel/pipeline.py); folding stages into TP "
+                    f"(tp {tp} -> {folded})", stacklevel=2)
+                tp = folded
+            else:
+                # folding past the device count would fail the mesh check
+                # below and silently drop ALL sharding — keep the original
+                # TP degree instead
+                warnings.warn(
+                    f"pipeline_parallel_size > 1 ignored: tp x pp = {folded} "
+                    f"exceeds {len(jax.devices())} devices; keeping tp={tp}",
+                    stacklevel=2)
         if tp > 1 and len(jax.devices()) >= tp:
             from specdec_tpu.parallel.mesh import build_mesh
             mesh = build_mesh(jax.devices()[:tp], tp=tp, dp=1)

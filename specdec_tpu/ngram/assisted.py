@@ -159,14 +159,22 @@ def batch_ngram_assisted_generate(
     from specdec_tpu.engine.batch_engine import _pad_batch
     prompts, lens = _pad_batch(prompts_host, pad_token_id)
 
+    # prefill key folded with a sentinel the window loop can never produce
+    # (windows fold 0..N): reusing fold_in(key, 0) for both made the prefill
+    # tok0 draws and the first verify window's sample draws share keys —
+    # correlated samples (the single-seq path's 2**31-1 convention, :297)
     state = batch_prefill(None, None, target_cfg, target_params, prompts,
                           lens, int(gen_len), gamma, processor, True, False,
-                          tuple(sorted(eos_set)), jax.random.fold_in(key, 0))
+                          tuple(sorted(eos_set)),
+                          jax.random.fold_in(key, 2 ** 31 - 1))
     cache = state.t_cache
-    buf0 = np.asarray(state.buf)
-    pos0 = np.asarray(state.pos)
-    total_len = np.asarray(state.total_len)
-    finished0 = np.asarray(state.finished)
+    # ONE packed pull for the prefill harvest (CLAUDE.md single-RPC rule);
+    # total_len is recomputed host-side from the packed prompt lengths
+    from specdec_tpu.engine.batch_engine import _pack_state, _unpack_state
+    buf0, pos0, plen0, _, _, finished0 = _unpack_state(
+        np.asarray(_pack_state(state)))
+    total_len = np.minimum(target_cfg.max_position_embeddings,
+                           plen0 + int(gen_len))
 
     tokens: List[List[int]] = []
     for b in range(B):

@@ -134,13 +134,14 @@ def pipeline_forward_full(cfg: ModelConfig, params, tokens: jax.Array,
             # discarded by the mask
             live = (t - sid >= 0) & (t - sid < M)
             y = jnp.where(live, run_local_layers(x_in), x_in)
-            # last stage projects its finished microbatch into the buffer
+            # last stage projects its finished microbatch into the buffer;
+            # head() lives INSIDE the cond so the (large, vocab-sized)
+            # projection only runs on the stage+step that needs it
             jl = jnp.clip(t - (S - 1), 0, M - 1)
-            logits = head(y)
             write = (sid == S - 1) & (t - (S - 1) >= 0)
             logits_buf = lax.cond(
                 write,
-                lambda b: lax.dynamic_update_index_in_dim(b, logits, jl, 0),
+                lambda b: lax.dynamic_update_index_in_dim(b, head(y), jl, 0),
                 lambda b: b, logits_buf)
             # activations hop to the next stage
             recv = lax.ppermute(y, STAGE_AXIS, perm)

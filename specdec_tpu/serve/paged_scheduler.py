@@ -121,9 +121,15 @@ class PagedContinuousBatcher(ContinuousBatcher):
         # default pool: half of what per-slot reservation would need — the
         # memory win comes from sequences not all being max-length at once
         pool_tokens = pool_tokens or (num_slots * self.S + self.S) // 2
+        # table width must cover _needed_now at max length: S tokens PLUS
+        # one full dispatch horizon (windows_per_sync windows can each
+        # commit gamma+1 tokens before the next top-up) — sizing it from S
+        # alone made _table_row overflow near the end of generation
+        horizon = self.windows_per_sync * (self.gamma + 1) + 1
+        self.max_pages_per_seq = required_pages(self.S + horizon,
+                                                page_size) + 1
         self.num_pages = max(required_pages(pool_tokens, page_size),
-                             2 * (self.S // page_size + 2))
-        self.max_pages_per_seq = self.S // page_size + 2
+                             2 * self.max_pages_per_seq)
 
         from specdec_tpu.core.paged_cache import init_paged_cache
         self.state = dataclasses.replace(

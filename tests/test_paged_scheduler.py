@@ -95,3 +95,20 @@ def test_paged_multiwindow_sync_matches_oracle():
                                          eos_tokens_id=(),
                                          key=jax.random.key(7))
         assert done[rid].output_ids == expect, f"request {rid} diverged"
+
+
+def test_table_width_covers_dispatch_horizon():
+    """Regression (review finding): max_pages_per_seq sized from S alone
+    overflowed _table_row near end-of-generation once _needed_now grew to
+    the full dispatch horizon — exact failing config: prompt 32, gen 24,
+    gamma 3, page 8, windows_per_sync=8."""
+    cb = PagedContinuousBatcher(CFG, TARGET, CFG, TARGET, num_slots=2,
+                                gamma=3, max_prompt_len=32, max_new_tokens=24,
+                                page_size=8, windows_per_sync=8,
+                                eos_tokens_id=())
+    prompt = list(range(1, 33))
+    rid = cb.submit(prompt)
+    done = cb.run()
+    expect = autoregressive_generate(prompt, CFG, TARGET, max_gen_len=24,
+                                     eos_tokens_id=(), key=jax.random.key(7))
+    assert done[rid].output_ids == expect
