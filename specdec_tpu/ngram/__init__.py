@@ -11,4 +11,7 @@ from specdec_tpu.ngram.device_table import (
     DeviceNGramTable,
     init_device_table,
 )
-from specdec_tpu.ngram.device_assisted import device_ngram_assisted_generate
+from specdec_tpu.ngram.device_assisted import (
+    device_ngram_assisted_generate,
+    device_ngram_assisted_generate_batch,
+)

@@ -165,6 +165,207 @@ def _device_nasd_generate(
     return packed, table
 
 
+@partial(jax.jit, static_argnames=(
+    "cfg", "gamma", "gen_len", "processor", "eos_ids", "filler_k",
+    "stop_if_unknown"))
+def _device_nasd_generate_batch(
+    cfg: ModelConfig, params, table: DeviceNGramTable,
+    prompts: jax.Array, prompt_lens: jax.Array,
+    gamma: int, gen_len: int,
+    processor: LogitsProcessor,
+    eos_ids: Tuple[int, ...],
+    filler_k: int,
+    stop_if_unknown: bool,
+    key: jax.Array,
+):
+    """Whole-batch device NASD: one SHARED table, per-sequence drafting via
+    vmapped lookups, ONE target verify per window, sequential (order-stable)
+    table updates — all inside one jitted while_loop."""
+    B, P = prompts.shape
+    S = P + gen_len + gamma + 2
+    n_ctx = table.orders[0] - 1
+    V = cfg.vocab_size
+    max_windows = gen_len + 1
+    rows = jnp.arange(B)
+
+    cache = init_cache(cfg, B, S)
+    buf = jnp.zeros((B, S), jnp.int32)
+    buf = lax.dynamic_update_slice(buf, prompts, (0, 0))
+    total_len = jnp.minimum(cfg.max_position_embeddings,
+                            prompt_lens + gen_len)
+
+    logits, cache = forward_step(cfg, params, prompts, cache)
+    cache = cache.with_length(prompt_lens)
+    last = jnp.take_along_axis(logits, (prompt_lens - 1)[:, None, None],
+                               axis=1)[:, 0]                    # [B, V]
+    p0 = processor(last)
+    k_pre = jax.random.fold_in(key, 2 ** 31 - 1)
+    tok0 = jax.vmap(processor.sample)(
+        p0, jax.random.split(k_pre, B)).astype(jnp.int32)
+    buf = buf.at[rows, prompt_lens].set(tok0)
+
+    # seed from every prompt + its tok0, sequentially (order-stable)
+    def seed_body(b, tbl):
+        tbl = table_seed(tbl, prompts[b], prompt_lens[b])
+        c0 = lax.dynamic_slice(buf[b], (prompt_lens[b] - n_ctx,), (n_ctx,))
+        return table_update(tbl, c0, tok0[b])
+    table = lax.fori_loop(0, B, seed_body, table)
+
+    pos = prompt_lens + 1
+    finished0 = _eos_in(tok0, eos_ids) | (pos >= total_len)
+
+    def cond(st):
+        (buf, pos, cache, table, finished, accepted, speculated, window) = st
+        return jnp.any(~finished) & (window < max_windows)
+
+    def body(st):
+        (buf, pos, cache, table, finished, accepted, speculated, window) = st
+        wkey = jax.random.fold_in(key, window)
+        k_draft, k_sample = jax.random.split(wkey)
+
+        def draft_step(carry, k):
+            buf, known_all = carry
+            ctxs = jax.vmap(
+                lambda b: lax.dynamic_slice(buf[b], (pos[b] + k - n_ctx,),
+                                            (n_ctx,)))(rows)
+            keys = jax.random.split(jax.random.fold_in(k_draft, k), B)
+            toks, known = jax.vmap(
+                lambda c, kk: table_lookup(table, c, kk, V))(ctxs, keys)
+            buf = buf.at[rows, pos + k].set(toks.astype(jnp.int32))
+            return (buf, known_all.at[:, k].set(known)), toks
+
+        (buf, known), drafts_t = lax.scan(
+            draft_step, (buf, jnp.zeros((B, gamma), bool)),
+            jnp.arange(gamma))
+        drafts = drafts_t.T.astype(jnp.int32)               # [B, gamma]
+
+        corrected_gamma = jnp.clip(total_len - pos - 1, 0, gamma)
+        if stop_if_unknown:
+            unk = ~known
+            eff = jnp.where(jnp.any(unk, axis=1), jnp.argmax(unk, axis=1),
+                            gamma)
+        else:
+            eff = jnp.full((B,), gamma, jnp.int32)
+        eff = jnp.minimum(eff, corrected_gamma)
+
+        first_tok = jnp.take_along_axis(buf, (pos - 1)[:, None], axis=1)
+        t_in = jnp.concatenate([first_tok, drafts], axis=1)  # [B, g+1]
+        logits, cache = forward_step(cfg, params, t_in, cache)
+        p = processor(logits)                                # [B, g+1, V]
+        keys = jax.random.split(k_sample, B * (gamma + 1))
+        samples = jax.vmap(processor.sample)(
+            p.reshape(B * (gamma + 1), V), keys)
+        samples = samples.reshape(B, gamma + 1).astype(jnp.int32)
+
+        idx = jnp.arange(gamma)[None, :]
+        mismatch = (samples[:, :gamma] != drafts) & (idx < eff[:, None])
+        n = jnp.where(jnp.any(mismatch, axis=1), jnp.argmax(mismatch, axis=1),
+                      eff)
+
+        buf = buf.at[rows, pos + n].set(samples[rows, n])
+        cidx = jnp.arange(gamma + 1)[None, :]
+        cand = jnp.where(cidx < n[:, None],
+                         drafts[rows[:, None],
+                                jnp.minimum(cidx, gamma - 1)], 0)
+        cand = cand.at[rows, n].set(samples[rows, n])
+        remaining = total_len - pos
+        advance = jnp.minimum(n + 1, remaining)
+        is_eos = _eos_in(cand, eos_ids) & (cidx <= n[:, None])
+        any_eos = jnp.any(is_eos & (cidx < advance[:, None]), axis=1)
+        first_eos = jnp.argmax(is_eos, axis=1)
+        advance = jnp.where(any_eos, jnp.minimum(first_eos + 1, advance),
+                            advance)
+        advance = jnp.where(finished, 0, advance)
+
+        fillers = lax.top_k(p, filler_k)[1].astype(jnp.int32)  # [B, g+1, k]
+
+        def upd_seq(b, tbl):
+            def upd(i, t):
+                ctx = lax.dynamic_slice(buf[b], (pos[b] + i - n_ctx,),
+                                        (n_ctx,))
+                tok_i = buf[b, pos[b] + i]
+                if filler_k > 1:
+                    def fupd(j, tt):
+                        return table_update(tt, ctx, fillers[b, i, j])
+                    t = lax.fori_loop(0, filler_k, fupd, t)
+                return table_update(t, ctx, tok_i)
+            return lax.fori_loop(0, advance[b], upd, tbl)
+
+        table = lax.fori_loop(0, B, upd_seq, table)
+
+        new_pos = pos + advance
+        finished = finished | any_eos | (new_pos >= total_len)
+        accepted = accepted + jnp.where(advance > 0,
+                                        jnp.minimum(n, corrected_gamma), 0)
+        speculated = speculated + jnp.where(advance > 0, eff, 0)
+        cache = cache.with_length(new_pos - 1)
+        return (buf, new_pos, cache, table, finished, accepted, speculated,
+                window + 1)
+
+    st = (buf, pos, cache, table, finished0, jnp.zeros((B,), jnp.int32),
+          jnp.zeros((B,), jnp.int32), jnp.int32(0))
+    (buf, pos, _, table, _, accepted, speculated, _) = lax.while_loop(
+        cond, body, st)
+    packed = jnp.concatenate(
+        [buf, jnp.stack([pos - prompt_lens, accepted, speculated], axis=1)],
+        axis=1)
+    return packed, table
+
+
+def _eos_in(tokens: jax.Array, eos_ids: Tuple[int, ...]) -> jax.Array:
+    if not eos_ids:
+        return jnp.zeros(tokens.shape, dtype=bool)
+    eos = jnp.asarray(eos_ids, dtype=tokens.dtype)
+    return jnp.any(tokens[..., None] == eos, axis=-1)
+
+
+def device_ngram_assisted_generate_batch(
+    prompt_ids,
+    cfg: ModelConfig,
+    params,
+    n: int = 3,
+    table: Optional[DeviceNGramTable] = None,
+    capacity: int = 1 << 16,
+    gamma: int = 5,
+    filler_top_k: int = 3,
+    logits_processor: Optional[LogitsProcessor] = None,
+    gen_len: int = 100,
+    eos_tokens_id=1,
+    pad_token_id: int = 0,
+    stop_if_unknown: bool = False,
+    key: Optional[jax.Array] = None,
+):
+    """Batched device-table NASD. Returns (per-seq outputs, per-seq rates,
+    updated table). ONE host pull for the whole generation."""
+    from specdec_tpu.engine.batch_engine import _pad_batch
+
+    processor = logits_processor or GreedyProcessor()
+    key = key if key is not None else jax.random.key(0)
+    eos_ids = normalize_eos(eos_tokens_id)
+    prompts, lens = _pad_batch(prompt_ids, pad_token_id)
+    if table is None:
+        table = init_device_table(n, capacity)
+    n_ctx = table.orders[0] - 1
+    if int(min(len(p) for p in prompt_ids)) < n_ctx + 1:
+        raise ValueError(f"prompts must have at least n={n_ctx + 1} tokens")
+
+    packed, table = _device_nasd_generate_batch(
+        cfg, params, table, prompts, lens, int(gamma), int(gen_len),
+        processor, eos_ids, max(1, int(filler_top_k)),
+        bool(stop_if_unknown), key)
+
+    import numpy as np
+    packed = np.asarray(packed)   # ONE pull
+    B = packed.shape[0]
+    plen = np.asarray(lens)
+    outputs, rates = [], []
+    for b in range(B):
+        n_gen, acc, spec = (int(v) for v in packed[b, -3:])
+        outputs.append(packed[b, plen[b]:plen[b] + n_gen].tolist())
+        rates.append(acc / spec if spec > 0 else 0.0)
+    return outputs, rates, table
+
+
 def device_ngram_assisted_generate(
     inputs: Sequence[int],
     cfg: ModelConfig,

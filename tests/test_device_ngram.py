@@ -87,3 +87,45 @@ def test_device_nasd_table_carryover_and_stop_if_unknown():
     # second run re-walks the same greedy stream the table just learned:
     # drafts now hit and must be accepted
     assert rate2 > 0.0
+
+
+def test_batched_device_nasd_greedy_equals_ar():
+    """Each row of the batched device-NASD under greedy must equal its own
+    greedy AR stream (exact-match acceptance emits only target samples),
+    including mixed prompt lengths and a shared table."""
+    from specdec_tpu.ngram.device_assisted import (
+        device_ngram_assisted_generate_batch,
+    )
+
+    prompts = [[5, 9, 33, 2, 41, 7], [3, 14, 15, 9, 2, 6, 53, 8],
+               [27, 4, 9, 1], [40, 41, 42, 43, 44]]
+    outs, rates, table = device_ngram_assisted_generate_batch(
+        prompts, CFG, PARAMS, n=3, gamma=3, gen_len=16, eos_tokens_id=(),
+        key=jax.random.key(4))
+    for p, out, r in zip(prompts, outs, rates):
+        ar = autoregressive_generate(p, CFG, PARAMS, max_gen_len=16,
+                                     eos_tokens_id=())
+        assert out == ar, (p, out, ar)
+        assert 0.0 <= r <= 1.0
+    assert int(jnp.sum(table.ctx[0] >= 0)) > 0
+
+
+def test_batched_device_nasd_carryover_accepts():
+    """Re-running the same batch on the accumulated table must accept
+    (greedy streams were just learned)."""
+    from specdec_tpu.ngram.device_assisted import (
+        device_ngram_assisted_generate_batch,
+    )
+
+    prompts = [[5, 9, 33, 2, 41, 7], [27, 4, 9, 1]]
+    _, _, table = device_ngram_assisted_generate_batch(
+        prompts, CFG, PARAMS, n=3, gamma=3, gen_len=12, eos_tokens_id=(),
+        key=jax.random.key(5))
+    outs, rates, _ = device_ngram_assisted_generate_batch(
+        prompts, CFG, PARAMS, n=3, table=table, gamma=3, gen_len=12,
+        eos_tokens_id=(), key=jax.random.key(6))
+    for p, out in zip(prompts, outs):
+        ar = autoregressive_generate(p, CFG, PARAMS, max_gen_len=12,
+                                     eos_tokens_id=())
+        assert out == ar
+    assert all(r > 0.0 for r in rates), rates

@@ -57,6 +57,26 @@ def main():
     log(f"device-table NASD (B=1): {best_dev:.1f} tok/s "
         f"(acceptance {rate:.3f} on carried-over table)")
 
+    from specdec_tpu.ngram import device_ngram_assisted_generate_batch
+    for B in (4, 8):
+        prompts_b = [[int(t) for t in rng.integers(1, V, size=60)]
+                     for _ in range(B)]
+        outs, rates_b, tbl = device_ngram_assisted_generate_batch(
+            prompts_b, t_cfg, target, n=3, gamma=args.gamma,
+            gen_len=args.gen, eos_tokens_id=(), logits_processor=proc,
+            key=jax.random.key(7))       # warm/compile
+        best_b = 0.0
+        for i in range(args.reps):
+            t0 = time.time()
+            outs, rates_b, tbl = device_ngram_assisted_generate_batch(
+                prompts_b, t_cfg, target, n=3, table=tbl, gamma=args.gamma,
+                gen_len=args.gen, eos_tokens_id=(), logits_processor=proc,
+                key=jax.random.key(8 + i))
+            best_b = max(best_b,
+                         sum(len(o) for o in outs) / (time.time() - t0))
+        log(f"device-table NASD (B={B}): {best_b:.1f} tok/s aggregate "
+            f"(mean acceptance {float(np.mean(rates_b)):.3f} carried-over)")
+
     rows = []
     for B in (1, 4, 8):
         prompts = [[int(t) for t in rng.integers(1, V, size=60)]
