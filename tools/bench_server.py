@@ -30,11 +30,21 @@ def main():
     ap.add_argument("--gamma", type=int, default=8)
     ap.add_argument("--slots", type=int, default=8)
     ap.add_argument("--quant", default="int8")
+    ap.add_argument("--model", default="1b", choices=("1b", "8b"))
     args = ap.parse_args()
     rates = [float(r) for r in args.rates.split(",")]
-    log(f"backend={jax.default_backend()} rates={rates}")
+    log(f"backend={jax.default_backend()} rates={rates} model={args.model}")
 
-    t_cfg, d_cfg, target, drafter = build_pair(quant=args.quant)
+    if args.model == "8b":
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "bench_8b", "/root/repo/tools/bench_8b.py")
+        b8 = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(b8)
+        b8.DRAFT_LAYERS = 6
+        t_cfg, d_cfg, target, drafter = b8.build_8b(args.quant)
+    else:
+        t_cfg, d_cfg, target, drafter = build_pair(quant=args.quant)
     rng = np.random.default_rng(1)
     prompts = [[int(t) for t in rng.integers(1, t_cfg.vocab_size,
                                              size=int(n))]
