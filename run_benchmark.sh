@@ -25,11 +25,14 @@ export DP_SIZE=${DP_SIZE:-0}
 # Models
 # ----------------------------------------------------------------------------
 # Local HF checkpoint dirs, or synthetic:<preset> (no-network benchmarking):
-# presets: llama-1b llama-160m llama-70m pythia-70m pythia-410m tiny
+# presets: llama-1b llama-8b llama-160m llama-70m pythia-70m pythia-410m tiny
+# (append -ls<k> for a LayerSkip-damped variant, e.g. llama-1b-ls4).
+# DRAFTER_MODEL also accepts layerskip:<k> — self-speculation from the
+# target's own first k layers (no second checkpoint).
 export TARGET_MODEL=${TARGET_MODEL:-"synthetic:llama-1b"}
 export DRAFTER_MODEL=${DRAFTER_MODEL:-"synthetic:llama-70m"}
 export MODEL_DTYPE=${MODEL_DTYPE:-"bfloat16"}      # bfloat16 | float32
-export QUANTIZATION=${QUANTIZATION:-"none"}        # none | int8 | nf4
+export QUANTIZATION=${QUANTIZATION:-"none"}        # none | int8 | int4 | nf4 | fp4
 
 # ----------------------------------------------------------------------------
 # Dataset (ShareGPT jsonl files; same filtering as the reference)
