@@ -40,134 +40,6 @@ from specdec_tpu.sampling.utils import eos_mask, normalize_eos, pad_to_bucket
 @partial(jax.jit, static_argnames=(
     "cfg", "gamma", "gen_len", "processor", "eos_ids", "filler_k",
     "stop_if_unknown"))
-def _device_nasd_generate(
-    cfg: ModelConfig, params, table: DeviceNGramTable,
-    prompt: jax.Array, prompt_len: jax.Array,
-    gamma: int, gen_len: int,
-    processor: LogitsProcessor,
-    eos_ids: Tuple[int, ...],
-    filler_k: int,
-    stop_if_unknown: bool,
-    key: jax.Array,
-):
-    P = prompt.shape[0]
-    S = P + gen_len + gamma + 2
-    n_ctx = table.orders[0] - 1           # context length of the top order
-    V = cfg.vocab_size
-    max_windows = gen_len + 1
-
-    cache = init_cache(cfg, 1, S)
-    buf = jnp.zeros((S,), jnp.int32).at[:P].set(prompt)
-
-    total_len = jnp.minimum(cfg.max_position_embeddings, prompt_len + gen_len)
-
-    # --- prefill: target emits token 1; seed table from the prompt --------
-    logits, cache = forward_step(cfg, params, prompt[None, :], cache)
-    cache = cache.with_length(prompt_len[None])
-    p0 = processor(logits[0, prompt_len - 1])
-    tok0 = processor.sample(p0, jax.random.fold_in(key, 2 ** 31 - 1))
-    tok0 = tok0.astype(jnp.int32)
-    buf = lax.dynamic_update_index_in_dim(buf, tok0, prompt_len, axis=0)
-    table = table_seed(table, prompt, prompt_len)
-    ctx0 = lax.dynamic_slice(buf, (prompt_len - n_ctx,), (n_ctx,))
-    table = table_update(table, ctx0, tok0)
-
-    pos = prompt_len + 1
-    finished0 = eos_mask(tok0, eos_ids) | (pos >= total_len)
-
-    def cond(st):
-        (buf, pos, cache, table, finished, accepted, speculated, window) = st
-        return (~finished) & (pos < total_len) & (window < max_windows)
-
-    def body(st):
-        (buf, pos, cache, table, finished, accepted, speculated, window) = st
-        wkey = jax.random.fold_in(key, window)
-        k_draft, k_sample = jax.random.split(wkey)
-
-        # --- draft phase: table lookups, drafts written into buf tail ----
-        def draft_step(carry, k):
-            buf, known_all = carry
-            ctx = lax.dynamic_slice(buf, (pos + k - n_ctx,), (n_ctx,))
-            tok, known = table_lookup(table, ctx,
-                                      jax.random.fold_in(k_draft, k), V)
-            buf = lax.dynamic_update_index_in_dim(buf, tok, pos + k, axis=0)
-            return (buf, known_all.at[k].set(known)), tok
-
-        (buf, known), drafts = lax.scan(
-            draft_step, (buf, jnp.zeros((gamma,), bool)), jnp.arange(gamma))
-
-        corrected_gamma = jnp.clip(total_len - pos - 1, 0, gamma)
-        if stop_if_unknown:
-            unk = ~known
-            eff = jnp.where(jnp.any(unk), jnp.argmax(unk), gamma)
-        else:
-            eff = jnp.int32(gamma)
-        eff = jnp.minimum(eff, corrected_gamma)
-
-        # --- verify: ONE target forward over [last_committed, drafts] ----
-        first_tok = lax.dynamic_index_in_dim(buf, pos - 1, 0, keepdims=False)
-        t_in = jnp.concatenate([first_tok[None], drafts])
-        logits, cache = forward_step(cfg, params, t_in[None, :], cache)
-        p = processor(logits[0])                       # [gamma+1, V]
-        skeys = jax.random.split(k_sample, gamma + 1)
-        samples = jax.vmap(processor.sample)(p, skeys).astype(jnp.int32)
-
-        idx = jnp.arange(gamma)
-        mismatch = (samples[:gamma] != drafts) & (idx < eff)
-        n = jnp.where(jnp.any(mismatch), jnp.argmax(mismatch), eff)
-
-        # --- commit: drafts[:n] already in buf; target sample at pos+n ---
-        buf = lax.dynamic_update_index_in_dim(buf, samples[n], pos + n,
-                                              axis=0)
-        committed_idx = jnp.arange(gamma + 1)
-        cand = jnp.where(committed_idx < n, drafts[jnp.minimum(
-            committed_idx, gamma - 1)], 0).at[n].set(samples[n])
-        remaining = total_len - pos
-        advance = jnp.minimum(n + 1, remaining)
-        is_eos = eos_mask(cand, eos_ids) & (committed_idx <= n)
-        any_eos = jnp.any(is_eos & (committed_idx < advance))
-        first_eos = jnp.argmax(is_eos)
-        advance = jnp.where(any_eos, jnp.minimum(first_eos + 1, advance),
-                            advance)
-
-        # --- table updates: committed tokens + top-k fillers -------------
-        fillers = lax.top_k(p, filler_k)[1].astype(jnp.int32)  # [g+1, k]
-
-        def upd(i, tbl):
-            ctx = lax.dynamic_slice(buf, (pos + i - n_ctx,), (n_ctx,))
-            tok_i = lax.dynamic_index_in_dim(buf, pos + i, 0, keepdims=False)
-            # fillers FIRST, committed token LAST: the recency table keeps
-            # the last writer, and the actual continuation must win (the
-            # host store's count-argmax gets this for free; writing fillers
-            # last measurably corrupted every prediction to the k-th-best)
-            if filler_k > 1:
-                def fupd(j, t):
-                    return table_update(t, ctx, fillers[i, j])
-                tbl = lax.fori_loop(0, filler_k, fupd, tbl)
-            return table_update(tbl, ctx, tok_i)
-
-        table = lax.fori_loop(0, advance, upd, table)
-
-        new_pos = pos + advance
-        finished = any_eos | (new_pos >= total_len)
-        accepted = accepted + jnp.minimum(n, corrected_gamma)
-        speculated = speculated + eff
-        cache = cache.with_length(jnp.full((1,), new_pos - 1, jnp.int32))
-        return (buf, new_pos, cache, table, finished, accepted, speculated,
-                window + 1)
-
-    st = (buf, pos, cache, table, finished0, jnp.int32(0), jnp.int32(0),
-          jnp.int32(0))
-    (buf, pos, _, table, _, accepted, speculated, _) = lax.while_loop(
-        cond, body, st)
-    packed = jnp.concatenate(
-        [buf, jnp.stack([pos - prompt_len, accepted, speculated])])
-    return packed, table
-
-
-@partial(jax.jit, static_argnames=(
-    "cfg", "gamma", "gen_len", "processor", "eos_ids", "filler_k",
-    "stop_if_unknown"))
 def _device_nasd_generate_batch(
     cfg: ModelConfig, params, table: DeviceNGramTable,
     prompts: jax.Array, prompt_lens: jax.Array,
@@ -212,7 +84,7 @@ def _device_nasd_generate_batch(
     table = lax.fori_loop(0, B, seed_body, table)
 
     pos = prompt_lens + 1
-    finished0 = _eos_in(tok0, eos_ids) | (pos >= total_len)
+    finished0 = eos_mask(tok0, eos_ids) | (pos >= total_len)
 
     def cond(st):
         (buf, pos, cache, table, finished, accepted, speculated, window) = st
@@ -270,7 +142,7 @@ def _device_nasd_generate_batch(
         cand = cand.at[rows, n].set(samples[rows, n])
         remaining = total_len - pos
         advance = jnp.minimum(n + 1, remaining)
-        is_eos = _eos_in(cand, eos_ids) & (cidx <= n[:, None])
+        is_eos = eos_mask(cand, eos_ids) & (cidx <= n[:, None])
         any_eos = jnp.any(is_eos & (cidx < advance[:, None]), axis=1)
         first_eos = jnp.argmax(is_eos, axis=1)
         advance = jnp.where(any_eos, jnp.minimum(first_eos + 1, advance),
@@ -284,6 +156,11 @@ def _device_nasd_generate_batch(
                 ctx = lax.dynamic_slice(buf[b], (pos[b] + i - n_ctx,),
                                         (n_ctx,))
                 tok_i = buf[b, pos[b] + i]
+                # fillers FIRST, committed token LAST: the recency table
+                # keeps the last writer, and the actual continuation must
+                # win (the host store's count-argmax gets this for free;
+                # writing fillers last measurably corrupted every
+                # prediction to the k-th-best)
                 if filler_k > 1:
                     def fupd(j, tt):
                         return table_update(tt, ctx, fillers[b, i, j])
@@ -310,13 +187,6 @@ def _device_nasd_generate_batch(
         [buf, jnp.stack([pos - prompt_lens, accepted, speculated], axis=1)],
         axis=1)
     return packed, table
-
-
-def _eos_in(tokens: jax.Array, eos_ids: Tuple[int, ...]) -> jax.Array:
-    if not eos_ids:
-        return jnp.zeros(tokens.shape, dtype=bool)
-    eos = jnp.asarray(eos_ids, dtype=tokens.dtype)
-    return jnp.any(tokens[..., None] == eos, axis=-1)
 
 
 def device_ngram_assisted_generate_batch(
@@ -357,7 +227,7 @@ def device_ngram_assisted_generate_batch(
     import numpy as np
     packed = np.asarray(packed)   # ONE pull
     B = packed.shape[0]
-    plen = np.asarray(lens)
+    plen = [min(len(pids), prompts.shape[1]) for pids in prompt_ids]
     outputs, rates = [], []
     for b in range(B):
         n_gen, acc, spec = (int(v) for v in packed[b, -3:])
@@ -367,7 +237,7 @@ def device_ngram_assisted_generate_batch(
 
 
 def device_ngram_assisted_generate(
-    inputs: Sequence[int],
+    inputs,
     cfg: ModelConfig,
     params,
     n: int = 3,
@@ -382,26 +252,14 @@ def device_ngram_assisted_generate(
     stop_if_unknown: bool = False,
     key: Optional[jax.Array] = None,
 ) -> Tuple[List[int], float, DeviceNGramTable]:
-    """Device-table NASD generation. Returns (generated ids, acceptance,
-    updated table) — pass the table back in to accumulate across prompts
-    (the host-store ``reset_in_between=False`` behavior)."""
-    processor = logits_processor or GreedyProcessor()
-    key = key if key is not None else jax.random.key(0)
-    eos_ids = normalize_eos(eos_tokens_id)
-    prompt, m = pad_to_bucket(inputs, pad_token_id)
-    if table is None:
-        table = init_device_table(n, capacity)
-    n_ctx = table.orders[0] - 1
-    if m < n_ctx + 1:
-        raise ValueError(f"prompt must have at least n={n_ctx + 1} tokens")
-
-    packed, table = _device_nasd_generate(
-        cfg, params, table, prompt, jnp.int32(m), int(gamma),
-        int(max_gen_len), processor, eos_ids, max(1, int(filler_top_k)),
-        bool(stop_if_unknown), key)
-
-    import numpy as np
-    packed = np.asarray(packed)   # ONE pull
-    n_gen, accepted, speculated = (int(v) for v in packed[-3:])
-    rate = accepted / speculated if speculated > 0 else 0.0
-    return packed[m:m + n_gen].tolist(), rate, table
+    """Single-sequence device-table NASD: the B=1 case of the batch kernel
+    (one implementation — the two loops must never drift). Returns
+    (generated ids, acceptance, updated table); pass the table back in to
+    accumulate across prompts (reset_in_between=False behavior)."""
+    outs, rates, table = device_ngram_assisted_generate_batch(
+        [inputs], cfg, params, n=n, table=table, capacity=capacity,
+        gamma=gamma, filler_top_k=filler_top_k,
+        logits_processor=logits_processor, gen_len=max_gen_len,
+        eos_tokens_id=eos_tokens_id, pad_token_id=pad_token_id,
+        stop_if_unknown=stop_if_unknown, key=key)
+    return outs[0], rates[0], table

@@ -33,24 +33,25 @@ DRAFT_LAYERS = 4   # 4-of-32 prefix: the 8L drafter costs ~5.8 ms/draft
 TAIL_DAMP = 0.08   # step at 8B (head included) and caps spec/AR at ~1.9x
 
 
-def build_8b(quant: str):
+def build_8b(quant: str, draft_layers: int = None):
     from specdec_tpu.core.config import ModelConfig
     from specdec_tpu.engine.model_loader import SYNTHETIC_PRESETS
     from specdec_tpu.quant import init_quantized_params
 
+    draft_layers = draft_layers or DRAFT_LAYERS
     cfg = ModelConfig(dtype=jnp.bfloat16, **SYNTHETIC_PRESETS["llama-8b"])
-    d_cfg = cfg.replace(num_layers=DRAFT_LAYERS)
-    scales = [1.0 if i < DRAFT_LAYERS else TAIL_DAMP
+    d_cfg = cfg.replace(num_layers=draft_layers)
+    scales = [1.0 if i < draft_layers else TAIL_DAMP
               for i in range(cfg.num_layers)]
     t0 = time.time()
     target = init_quantized_params(cfg, jax.random.key(11), kind=quant,
                                    scale=0.02, layer_out_scales=scales)
     drafter = dict(target)
-    drafter["layers"] = jax.tree.map(lambda x: x[:DRAFT_LAYERS],
+    drafter["layers"] = jax.tree.map(lambda x: x[:draft_layers],
                                      target["layers"])
     _ = np.asarray(target["embed"][0, :1])
     log(f"8B {quant} pair built in {time.time() - t0:.1f}s "
-        f"({cfg.num_layers}L/{cfg.hidden_size}d, drafter {DRAFT_LAYERS}L, "
+        f"({cfg.num_layers}L/{cfg.hidden_size}d, drafter {draft_layers}L, "
         f"tail damp {TAIL_DAMP})")
     return cfg, d_cfg, target, drafter
 

@@ -37,12 +37,14 @@ def main():
 
     if args.model == "8b":
         import importlib.util
+        import os
         spec = importlib.util.spec_from_file_location(
-            "bench_8b", "/root/repo/tools/bench_8b.py")
+            "bench_8b", os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                     "bench_8b.py"))
         b8 = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(b8)
-        b8.DRAFT_LAYERS = 6
-        t_cfg, d_cfg, target, drafter = b8.build_8b(args.quant)
+        t_cfg, d_cfg, target, drafter = b8.build_8b(args.quant,
+                                                    draft_layers=6)
     else:
         t_cfg, d_cfg, target, drafter = build_pair(quant=args.quant)
     rng = np.random.default_rng(1)
