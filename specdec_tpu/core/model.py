@@ -73,17 +73,25 @@ def _act(cfg: ModelConfig, x):
     raise ValueError(f"unknown activation {cfg.act}")
 
 
-def _attention(cfg: ModelConfig, q, k_all, v_all, q_pos, k_len):
+def _attention(cfg: ModelConfig, q, k_all, v_all, q_pos, k_len, tree=None):
     """q: [B,T,Hq,Dh]; k_all/v_all: [B,S,Hk,Dh]; q_pos: [B,T] absolute positions.
 
     Mask admits key position s iff s <= q_pos[b, t] (and s < k_len safety bound,
     implied because q_pos < written length). Softmax in f32.
+
+    ``tree``: optional (start [B], tree_mask [T, E]) for tree-structured
+    query blocks (speculative trees): key SLOTS in [start, start+E) carry
+    tree tokens (E >= T: earlier-written levels plus this block) whose
+    attention is by ANCESTRY, not slot position — the position test is
+    overridden by tree_mask there (prefix keys < start keep the position
+    test; q_pos already encodes prefix+depth for rope).
     """
     B, T, Hq, Dh = q.shape
     S = k_all.shape[1]
     Hk = cfg.num_kv_heads
     G = cfg.q_per_kv
-    if (cfg.attention_impl == "flash" and cfg.logit_softcap == 0.0
+    if (tree is None
+            and cfg.attention_impl == "flash" and cfg.logit_softcap == 0.0
             and T * G <= 1024  # decode/verify blocks only: the kernel holds
             # the whole [T*G, Dh] query block (+f32 scratch) in VMEM, so
             # prefill-sized T must take the XLA path
@@ -97,6 +105,14 @@ def _attention(cfg: ModelConfig, q, k_all, v_all, q_pos, k_len):
                         preferred_element_type=jnp.float32) * scale
     k_pos = jnp.arange(S, dtype=jnp.int32)
     mask = k_pos[None, None, :] <= q_pos[:, :, None]  # [B,T,S]
+    if tree is not None:
+        start, tree_mask = tree               # [B], [T, E] bool
+        E = tree_mask.shape[1]
+        is_tree = ((k_pos[None, :] >= start[:, None]) &
+                   (k_pos[None, :] < start[:, None] + E))  # [B, S]
+        slot = jnp.clip(k_pos[None, :] - start[:, None], 0, E - 1)  # [B, S]
+        tm = jnp.transpose(tree_mask[:, slot], (1, 0, 2))  # [B, T, S]
+        mask = jnp.where(is_tree[:, None, :], tm, mask)
     scores = jnp.where(mask[:, None, None, :, :], scores, _NEG_INF)
     if cfg.logit_softcap > 0.0:
         scores = jnp.tanh(scores / cfg.logit_softcap) * cfg.logit_softcap
@@ -106,7 +122,7 @@ def _attention(cfg: ModelConfig, q, k_all, v_all, q_pos, k_len):
 
 
 def _block(cfg: ModelConfig, lp: Params, x, cos, sin, q_pos,
-           layer_k, layer_v, offsets):
+           layer_k, layer_v, offsets, tree=None):
     """One transformer block over a [B, T, D] activation block.
 
     Returns (new_x, new_layer_k, new_layer_v).
@@ -127,7 +143,7 @@ def _block(cfg: ModelConfig, lp: Params, x, cos, sin, q_pos,
     k = apply_rope(k, cos, sin, rd)
 
     layer_k, layer_v = write_block(layer_k, layer_v, k, v, offsets)
-    attn = _attention(cfg, q, layer_k, layer_v, q_pos, None)
+    attn = _attention(cfg, q, layer_k, layer_v, q_pos, None, tree=tree)
     attn = _mm(attn, lp["wo"])
     if cfg.attn_out_bias:
         attn = attn + lp["bo"]
@@ -225,6 +241,55 @@ def forward_step(cfg: ModelConfig, params: Params, tokens: jax.Array,
         logits = jnp.tanh(logits / cfg.logit_softcap) * cfg.logit_softcap
     new_cache = KVCache(k=new_k, v=new_v, length=cache.length + T)
     return logits, new_cache
+
+
+def forward_step_tree(cfg: ModelConfig, params: Params, tokens: jax.Array,
+                      cache: KVCache, depths: jax.Array,
+                      tree_mask: jax.Array,
+                      tree_start: Optional[jax.Array] = None,
+                      ) -> Tuple[jax.Array, KVCache]:
+    """Process a [B, N] block of TREE-structured tokens against the cache.
+
+    Tree speculation (EAGLE/SpecInfer-style, static topology): the N tokens
+    are tree nodes, not a sequence. Each node's rope position is
+    ``cache.length + depths[node]`` and it attends to the prefix plus its
+    ANCESTORS only (``tree_mask[q, k]``, ancestor-or-self, True on the
+    diagonal). K/V are written at slots length..length+N-1 — slot order is
+    storage only; masking is entirely by ancestry, and the accepted path is
+    later compacted to contiguous slots (sampling/tree_speculative.py).
+    ``tree_start`` (default: current length) is the slot of tree node 0 —
+    pass it on level-by-level expansion calls, where the cache has already
+    advanced past earlier levels but ancestry masking must cover them
+    (tree_mask is then [N, E] with E = nodes written so far + N).
+    Returns (logits [B, N, V] f32, cache advanced by N)."""
+    B, N = tokens.shape
+    offsets = cache.length
+    if tree_start is None:
+        tree_start = offsets
+    q_pos = tree_start[:, None] + depths[None, :].astype(jnp.int32)  # [B, N]
+    cos, sin = rope_cos_sin(q_pos, cfg.rotary_dim, cfg.rope_theta)
+
+    x = params["embed"][tokens].astype(cfg.dtype)
+    tree = (tree_start, tree_mask)
+
+    def body(carry, scanned):
+        h = carry
+        lp, lk, lv = scanned
+        h, lk, lv = _block(cfg, lp, h, cos, sin, q_pos, lk, lv, offsets,
+                           tree=tree)
+        return h, (lk, lv)
+
+    x, (new_k, new_v) = lax.scan(body, x, (params["layers"], cache.k, cache.v))
+
+    x = _norm(cfg, x, params["final_norm_w"], params.get("final_norm_b"))
+    if cfg.tie_embeddings:
+        logits = jnp.einsum("btd,vd->btv", x, params["embed"],
+                            preferred_element_type=jnp.float32)
+    else:
+        logits = _mm(x, params["lm_head"]).astype(jnp.float32)
+    if cfg.logit_softcap > 0.0:
+        logits = jnp.tanh(logits / cfg.logit_softcap) * cfg.logit_softcap
+    return logits, KVCache(k=new_k, v=new_v, length=cache.length + N)
 
 
 def forward_full(cfg: ModelConfig, params: Params, tokens: jax.Array) -> jax.Array:

@@ -7,3 +7,7 @@ from specdec_tpu.sampling.processors import (
     TopKNucleusProcessor,
     build_processor,
 )
+from specdec_tpu.sampling.tree_speculative import (
+    TreeTopology,
+    tree_speculative_generate,
+)
