@@ -43,9 +43,18 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build_pair(quant: str = "none", tail_damp: float = None):
+def build_pair(quant: str = "none", tail_damp: float = None,
+               drafter_quant: str = None):
     """Build the LayerSkip 1.1B target + 4-layer prefix drafter, optionally
     weight-quantized (both models — the quantized operating point).
+
+    ``drafter_quant``: mixed-precision pairing (defaults to ``quant``).
+    Measured caveat: for this WEIGHT-TIED prefix drafter, same-dtype is
+    essential — an INT8 drafter under an INT4 target decodes faster per
+    forward (2.0 vs 2.7 ms/tok) but no longer mirrors the target's
+    quantized early-layer computation, and acceptance collapses 0.78→0.38
+    (throughput 1040→626 tok/s). Mixed precision only makes sense for
+    drafters that are independently trained, not weight-tied slices.
 
     Returns (t_cfg, d_cfg, target_params, drafter_params)."""
     import numpy as np
@@ -79,15 +88,31 @@ def build_pair(quant: str = "none", tail_damp: float = None):
     target = dict(base)
     target["layers"] = layers
 
+    drafter_quant = drafter_quant or os.getenv("BENCH_DRAFTER_QUANT", quant)
+    dense = target
     if quant != "none":
         from specdec_tpu.quant import quantize_params
         target = quantize_params(target, kind=quant, fuse=True)
 
     # drafter: the target's first DRAFT_LAYERS layers (quantized containers
     # are layer-stacked pytrees, so the slice works identically to dense)
-    drafter = dict(target)
-    drafter["layers"] = jax.tree.map(lambda x: x[:DRAFT_LAYERS],
-                                     target["layers"])
+    if drafter_quant == quant:
+        drafter = dict(target)
+        drafter["layers"] = jax.tree.map(lambda x: x[:DRAFT_LAYERS],
+                                         target["layers"])
+    else:
+        # mixed precision: quantize the drafter's layer slice separately
+        # from the SAME dense weights (still weight-tied, different dtype)
+        from specdec_tpu.quant import quantize_params
+        drafter = dict(target)
+        d_dense = dict(dense,
+                       layers=jax.tree.map(lambda x: x[:DRAFT_LAYERS],
+                                           dense["layers"]))
+        if drafter_quant != "none":
+            d_dense = quantize_params(d_dense, kind=drafter_quant, fuse=True)
+        drafter["layers"] = d_dense["layers"]
+        if "lm_head" in d_dense:
+            drafter["lm_head"] = d_dense["lm_head"]
     _ = np.asarray(target["embed"][0, :1])  # real barrier
     log(f"params built in {time.time() - t0:.1f}s (target 22L/2048d ~1.1B "
         f"quant={quant}, layer-skip drafter {DRAFT_LAYERS}L, "
