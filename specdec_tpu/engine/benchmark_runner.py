@@ -158,10 +158,17 @@ class BenchmarkRunner:
         self.pad_token_id = bundle["pad_token_id"]
 
         if self.inference_method_name == "ngram":
-            from specdec_tpu.ngram import NGramStorage
             n = int(os.getenv("NGRAM_N", "3"))
-            self.ngram = NGramStorage(n=n,
-                                      vocab_size=self.target_cfg.vocab_size)
+            if os.getenv("NGRAM_DEVICE", "false").lower() == "true":
+                # device-resident table: the whole NASD loop runs jitted
+                # with zero host syncs per window (ngram/device_assisted.py)
+                from specdec_tpu.ngram import init_device_table
+                self.ngram = init_device_table(
+                    n, int(os.getenv("NGRAM_DEVICE_CAPACITY", str(1 << 16))))
+            else:
+                from specdec_tpu.ngram import NGramStorage
+                self.ngram = NGramStorage(
+                    n=n, vocab_size=self.target_cfg.vocab_size)
 
     # ------------------------------------------------------------------ data
     def _load_sharegpt_data(self):

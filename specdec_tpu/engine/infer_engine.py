@@ -46,7 +46,12 @@ def infer_batch(ctx, prompts: List[str]) -> Tuple[Optional[BatchMetrics],
     prompt_ids = tokenize_batch(ctx.tokenizer, prompts, ctx.max_batch_length,
                                 chat=ctx.chat)
     if ctx.reset_in_between and ctx.ngram is not None:
-        ctx.ngram.reset()
+        from specdec_tpu.ngram import DeviceNGramTable, init_device_table
+        if isinstance(ctx.ngram, DeviceNGramTable):
+            ctx.ngram = init_device_table(ctx.ngram.orders[0],
+                                          ctx.ngram.capacity)
+        else:
+            ctx.ngram.reset()
 
     if ctx.spec:
         return _run_spec(ctx, prompt_ids), None
@@ -88,20 +93,42 @@ def _run_spec(ctx, prompt_ids) -> Optional[BatchMetrics]:
 
     try:
         if ctx.ngram is not None:
-            # batched NASD: host drafts per sequence from the shared store,
-            # ONE jitted verify per window for the whole batch (round 1
-            # sequentialized this — VERDICT weak #6)
-            from specdec_tpu.ngram.assisted import (
-                batch_ngram_assisted_generate,
-            )
-            outputs, rates = batch_ngram_assisted_generate(
-                prompt_ids, ctx.ngram, ctx.target_cfg, ctx.target_params,
-                gamma=ctx.gamma, filler_top_k=ctx.filler_top_k,
-                logits_processor=ctx.processor, gen_len=ctx.gen_len,
-                eos_tokens_id=ctx.end_tokens,
-                pad_token_id=ctx.pad_token_id,
-                key=ctx.request_key(),
-                first_token_callback=on_first_token)
+            from specdec_tpu.ngram import DeviceNGramTable
+            if isinstance(ctx.ngram, DeviceNGramTable):
+                # device-resident NASD: whole batch, zero host syncs per
+                # window (NGRAM_DEVICE=true); the accumulated table is
+                # carried across requests like the host store
+                from specdec_tpu.ngram.device_assisted import (
+                    device_ngram_assisted_generate_batch,
+                )
+                outputs, rates, ctx.ngram = \
+                    device_ngram_assisted_generate_batch(
+                        prompt_ids, ctx.target_cfg, ctx.target_params,
+                        table=ctx.ngram, gamma=ctx.gamma,
+                        filler_top_k=ctx.filler_top_k,
+                        logits_processor=ctx.processor, gen_len=ctx.gen_len,
+                        eos_tokens_id=ctx.end_tokens,
+                        pad_token_id=ctx.pad_token_id,
+                        key=ctx.request_key())
+                # the fully-jitted loop has no per-window host callback:
+                # TTFT stamps at completion (conservative upper bound)
+                for i in range(len(prompt_ids)):
+                    on_first_token(i)
+            else:
+                # batched NASD: host drafts per sequence from the shared
+                # store, ONE jitted verify per window for the whole batch
+                # (round 1 sequentialized this — VERDICT weak #6)
+                from specdec_tpu.ngram.assisted import (
+                    batch_ngram_assisted_generate,
+                )
+                outputs, rates = batch_ngram_assisted_generate(
+                    prompt_ids, ctx.ngram, ctx.target_cfg, ctx.target_params,
+                    gamma=ctx.gamma, filler_top_k=ctx.filler_top_k,
+                    logits_processor=ctx.processor, gen_len=ctx.gen_len,
+                    eos_tokens_id=ctx.end_tokens,
+                    pad_token_id=ctx.pad_token_id,
+                    key=ctx.request_key(),
+                    first_token_callback=on_first_token)
         else:
             outputs, rates = batch_speculative_generate(
                 prompt_ids, ctx.drafter_cfg, ctx.drafter_params,

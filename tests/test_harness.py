@@ -105,6 +105,24 @@ def test_benchmark_runner_ngram(bench_env, monkeypatch):
     assert (bench_env / "results_ngram.json").exists()
 
 
+def test_benchmark_runner_ngram_device(bench_env, monkeypatch):
+    """NGRAM_DEVICE=true routes the ngram method through the fully-jitted
+    device-table NASD (table carried across requests)."""
+    monkeypatch.setenv("INFERENCE_METHOD", "ngram")
+    monkeypatch.setenv("NGRAM_DEVICE", "true")
+    monkeypatch.setenv("ENABLE_BATCH", "true")
+    monkeypatch.setenv("BATCH_SIZE", "2")
+    from specdec_tpu.engine.benchmark_runner import BenchmarkRunner
+    from specdec_tpu.ngram import DeviceNGramTable
+
+    runner = BenchmarkRunner()
+    res = runner.spec_results
+    assert res.method == "ngram"
+    assert res.total_requests == 2
+    assert res.total_tokens > 0
+    assert isinstance(runner.ngram, DeviceNGramTable)
+
+
 def test_trapezoidal_energy_hand_case():
     r = MonitorResults()
     r.snapshots = [PowerSnapshot(0.0, 100.0), PowerSnapshot(1.0, 200.0),
