@@ -206,27 +206,21 @@ def _mlp_up(cfg: ModelConfig, lp: Params, m):
     return _act(cfg, up)
 
 
-def forward_step(cfg: ModelConfig, params: Params, tokens: jax.Array,
-                 cache: KVCache) -> Tuple[jax.Array, KVCache]:
-    """Process a [B, T] token block against the cache at per-seq offsets.
-
-    Writes the block's K/V at ``cache.length`` (per sequence), attends over
-    everything written so far, and returns logits [B, T, vocab] (f32) plus the
-    cache advanced by T. Callers that prefilled right-padded prompts set the
-    true per-seq lengths afterwards via ``cache.with_length`` — stale entries
-    are masked and later overwritten (see core/cache.py).
-    """
-    B, T = tokens.shape
+def _forward_common(cfg: ModelConfig, params: Params, tokens: jax.Array,
+                    cache: KVCache, q_pos: jax.Array, tree) -> Tuple[jax.Array, KVCache]:
+    """Shared embed → layer scan → final norm → logits head pipeline of
+    ``forward_step`` and ``forward_step_tree`` (ONE implementation — any
+    head/norm change must hit both paths identically)."""
+    T = tokens.shape[1]
     offsets = cache.length
-    q_pos = offsets[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]  # [B,T]
     cos, sin = rope_cos_sin(q_pos, cfg.rotary_dim, cfg.rope_theta)
-
     x = params["embed"][tokens].astype(cfg.dtype)
 
     def body(carry, scanned):
         h = carry
         lp, lk, lv = scanned
-        h, lk, lv = _block(cfg, lp, h, cos, sin, q_pos, lk, lv, offsets)
+        h, lk, lv = _block(cfg, lp, h, cos, sin, q_pos, lk, lv, offsets,
+                           tree=tree)
         return h, (lk, lv)
 
     x, (new_k, new_v) = lax.scan(body, x, (params["layers"], cache.k, cache.v))
@@ -239,8 +233,22 @@ def forward_step(cfg: ModelConfig, params: Params, tokens: jax.Array,
         logits = _mm(x, params["lm_head"]).astype(jnp.float32)
     if cfg.logit_softcap > 0.0:
         logits = jnp.tanh(logits / cfg.logit_softcap) * cfg.logit_softcap
-    new_cache = KVCache(k=new_k, v=new_v, length=cache.length + T)
-    return logits, new_cache
+    return logits, KVCache(k=new_k, v=new_v, length=cache.length + T)
+
+
+def forward_step(cfg: ModelConfig, params: Params, tokens: jax.Array,
+                 cache: KVCache) -> Tuple[jax.Array, KVCache]:
+    """Process a [B, T] token block against the cache at per-seq offsets.
+
+    Writes the block's K/V at ``cache.length`` (per sequence), attends over
+    everything written so far, and returns logits [B, T, vocab] (f32) plus the
+    cache advanced by T. Callers that prefilled right-padded prompts set the
+    true per-seq lengths afterwards via ``cache.with_length`` — stale entries
+    are masked and later overwritten (see core/cache.py).
+    """
+    B, T = tokens.shape
+    q_pos = cache.length[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+    return _forward_common(cfg, params, tokens, cache, q_pos, tree=None)
 
 
 def forward_step_tree(cfg: ModelConfig, params: Params, tokens: jax.Array,
@@ -262,34 +270,11 @@ def forward_step_tree(cfg: ModelConfig, params: Params, tokens: jax.Array,
     advanced past earlier levels but ancestry masking must cover them
     (tree_mask is then [N, E] with E = nodes written so far + N).
     Returns (logits [B, N, V] f32, cache advanced by N)."""
-    B, N = tokens.shape
-    offsets = cache.length
     if tree_start is None:
-        tree_start = offsets
+        tree_start = cache.length
     q_pos = tree_start[:, None] + depths[None, :].astype(jnp.int32)  # [B, N]
-    cos, sin = rope_cos_sin(q_pos, cfg.rotary_dim, cfg.rope_theta)
-
-    x = params["embed"][tokens].astype(cfg.dtype)
-    tree = (tree_start, tree_mask)
-
-    def body(carry, scanned):
-        h = carry
-        lp, lk, lv = scanned
-        h, lk, lv = _block(cfg, lp, h, cos, sin, q_pos, lk, lv, offsets,
-                           tree=tree)
-        return h, (lk, lv)
-
-    x, (new_k, new_v) = lax.scan(body, x, (params["layers"], cache.k, cache.v))
-
-    x = _norm(cfg, x, params["final_norm_w"], params.get("final_norm_b"))
-    if cfg.tie_embeddings:
-        logits = jnp.einsum("btd,vd->btv", x, params["embed"],
-                            preferred_element_type=jnp.float32)
-    else:
-        logits = _mm(x, params["lm_head"]).astype(jnp.float32)
-    if cfg.logit_softcap > 0.0:
-        logits = jnp.tanh(logits / cfg.logit_softcap) * cfg.logit_softcap
-    return logits, KVCache(k=new_k, v=new_v, length=cache.length + N)
+    return _forward_common(cfg, params, tokens, cache, q_pos,
+                           tree=(tree_start, tree_mask))
 
 
 def forward_full(cfg: ModelConfig, params: Params, tokens: jax.Array) -> jax.Array:

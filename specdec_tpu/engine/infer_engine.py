@@ -110,10 +110,10 @@ def _run_spec(ctx, prompt_ids) -> Optional[BatchMetrics]:
                         eos_tokens_id=ctx.end_tokens,
                         pad_token_id=ctx.pad_token_id,
                         key=ctx.request_key())
-                # the fully-jitted loop has no per-window host callback:
-                # TTFT stamps at completion (conservative upper bound)
-                for i in range(len(prompt_ids)):
-                    on_first_token(i)
+                # the fully-jitted loop has no per-window host callback;
+                # leave first_token_times unset so _collect's per-token
+                # estimate applies (stamping at completion would report
+                # TTFT == full batch latency)
             else:
                 # batched NASD: host drafts per sequence from the shared
                 # store, ONE jitted verify per window for the whole batch

@@ -215,9 +215,12 @@ def device_ngram_assisted_generate_batch(
     prompts, lens = _pad_batch(prompt_ids, pad_token_id)
     if table is None:
         table = init_device_table(n, capacity)
-    n_ctx = table.orders[0] - 1
-    if int(min(len(p) for p in prompt_ids)) < n_ctx + 1:
-        raise ValueError(f"prompts must have at least n={n_ctx + 1} tokens")
+    # degenerate prompts (< n tokens) are tolerated: context slices clamp at
+    # the buffer start, so their first lookups hash padded grams — harmless
+    # table noise, never an abort (a single short prompt must not poison a
+    # whole harness batch). A minimum of 2 keeps pos-1 reads in-bounds.
+    if int(min(len(p) for p in prompt_ids)) < 2:
+        raise ValueError("prompts must have at least 2 tokens")
 
     packed, table = _device_nasd_generate_batch(
         cfg, params, table, prompts, lens, int(gamma), int(gen_len),

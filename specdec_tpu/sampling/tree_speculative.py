@@ -102,7 +102,6 @@ def _tree_spec_generate(
     prompt: jax.Array, prompt_len: jax.Array,
     topo: TreeTopology, gen_len: int,
     eos_ids: Tuple[int, ...],
-    key: jax.Array,
 ):
     d = topo.depth
     N = topo.num_nodes
@@ -263,7 +262,9 @@ def tree_speculative_generate(
             "tree speculation is greedy-exact only; sampled tree acceptance "
             "(multi-draft rejection) is not implemented — use the chain "
             "path (speculative_generate) for sampled decoding")
-    key = key if key is not None else jax.random.key(0)
+    del key   # reserved for future sampled tree acceptance; greedy uses
+    # no randomness (passing keys keeps the call signature swappable with
+    # speculative_generate)
     eos_ids = normalize_eos(eos_tokens_id)
     prompt, n = pad_to_bucket(inputs, pad_token_id)
     if n < 2:
@@ -272,7 +273,7 @@ def tree_speculative_generate(
 
     packed = _tree_spec_generate(
         drafter_cfg, drafter_params, target_cfg, target_params,
-        prompt, jnp.int32(n), topo, int(max_gen_len), eos_ids, key)
+        prompt, jnp.int32(n), topo, int(max_gen_len), eos_ids)
 
     packed = np.asarray(packed)   # ONE pull
     n_gen, acc, spec, _ = (int(v) for v in packed[-4:])

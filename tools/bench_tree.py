@@ -81,12 +81,18 @@ def main():
         del target, drafter
 
     log("\n=== tree vs chain (greedy, gen %d) ===" % args.gen)
+    log("NOTE: 'rate' is NOT cross-comparable between methods — chain rows "
+        "report accepted-draft-tokens/drafted-tokens, tree rows report "
+        "accepted-depth/max-depth per window")
     for damp, name, tps, rate, ratio in rows:
         log(f"damp {damp}: {name:24} {tps:8.1f} tok/s  rate {rate:.3f}  "
             f"{ratio:.2f}x")
-    print(json.dumps([{"damp": d, "method": m, "tps": round(t, 1),
-                       "rate": round(r, 3), "vs_ar": round(x, 3)}
-                      for d, m, t, r, x in rows]))
+    print(json.dumps([
+        {"damp": d, "method": m, "tps": round(t, 1),
+         ("chain_token_rate" if m.startswith("chain")
+          else "tree_depth_rate" if m.startswith("tree")
+          else "rate"): round(r, 3),
+         "vs_ar": round(x, 3)} for d, m, t, r, x in rows]))
 
 
 if __name__ == "__main__":
