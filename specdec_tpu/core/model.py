@@ -207,10 +207,17 @@ def _mlp_up(cfg: ModelConfig, lp: Params, m):
 
 
 def _forward_common(cfg: ModelConfig, params: Params, tokens: jax.Array,
-                    cache: KVCache, q_pos: jax.Array, tree) -> Tuple[jax.Array, KVCache]:
+                    cache: KVCache, q_pos: jax.Array, tree,
+                    ) -> Tuple[jax.Array, jax.Array, KVCache]:
     """Shared embed → layer scan → final norm → logits head pipeline of
     ``forward_step`` and ``forward_step_tree`` (ONE implementation — any
-    head/norm change must hit both paths identically)."""
+    head/norm change must hit both paths identically).
+
+    Returns (logits, features, cache) where ``features`` is the residual
+    stream AFTER the layer scan and BEFORE the final norm — the hidden state
+    EAGLE-style feature-predictor drafters condition on (core/eagle.py).
+    Callers that drop it pay nothing: XLA dead-code-eliminates the extra
+    output under jit."""
     T = tokens.shape[1]
     offsets = cache.length
     cos, sin = rope_cos_sin(q_pos, cfg.rotary_dim, cfg.rope_theta)
@@ -225,6 +232,7 @@ def _forward_common(cfg: ModelConfig, params: Params, tokens: jax.Array,
 
     x, (new_k, new_v) = lax.scan(body, x, (params["layers"], cache.k, cache.v))
 
+    feats = x
     x = _norm(cfg, x, params["final_norm_w"], params.get("final_norm_b"))
     if cfg.tie_embeddings:
         logits = jnp.einsum("btd,vd->btv", x, params["embed"],
@@ -233,7 +241,7 @@ def _forward_common(cfg: ModelConfig, params: Params, tokens: jax.Array,
         logits = _mm(x, params["lm_head"]).astype(jnp.float32)
     if cfg.logit_softcap > 0.0:
         logits = jnp.tanh(logits / cfg.logit_softcap) * cfg.logit_softcap
-    return logits, KVCache(k=new_k, v=new_v, length=cache.length + T)
+    return logits, feats, KVCache(k=new_k, v=new_v, length=cache.length + T)
 
 
 def forward_step(cfg: ModelConfig, params: Params, tokens: jax.Array,
@@ -246,6 +254,19 @@ def forward_step(cfg: ModelConfig, params: Params, tokens: jax.Array,
     true per-seq lengths afterwards via ``cache.with_length`` — stale entries
     are masked and later overwritten (see core/cache.py).
     """
+    B, T = tokens.shape
+    q_pos = cache.length[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+    logits, _, cache = _forward_common(cfg, params, tokens, cache, q_pos,
+                                       tree=None)
+    return logits, cache
+
+
+def forward_step_features(cfg: ModelConfig, params: Params, tokens: jax.Array,
+                          cache: KVCache,
+                          ) -> Tuple[jax.Array, jax.Array, KVCache]:
+    """``forward_step`` that also returns the pre-final-norm residual stream
+    ([B, T, D] "features"), which EAGLE-style drafters autoregress on
+    (core/eagle.py). Same cache semantics as ``forward_step``."""
     B, T = tokens.shape
     q_pos = cache.length[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
     return _forward_common(cfg, params, tokens, cache, q_pos, tree=None)
@@ -273,8 +294,9 @@ def forward_step_tree(cfg: ModelConfig, params: Params, tokens: jax.Array,
     if tree_start is None:
         tree_start = cache.length
     q_pos = tree_start[:, None] + depths[None, :].astype(jnp.int32)  # [B, N]
-    return _forward_common(cfg, params, tokens, cache, q_pos,
-                           tree=(tree_start, tree_mask))
+    logits, _, cache = _forward_common(cfg, params, tokens, cache, q_pos,
+                                       tree=(tree_start, tree_mask))
+    return logits, cache
 
 
 def forward_full(cfg: ModelConfig, params: Params, tokens: jax.Array) -> jax.Array:

@@ -11,3 +11,4 @@ from specdec_tpu.sampling.tree_speculative import (
     TreeTopology,
     tree_speculative_generate,
 )
+from specdec_tpu.sampling.eagle_speculative import eagle_generate
