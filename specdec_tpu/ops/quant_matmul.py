@@ -36,14 +36,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 from specdec_tpu.quant.core import (
     NF4_BLOCK, FP4Weight, Int4Weight, Int8Weight, NF4Weight, _fp4_decode,
-    _fp4_decode_bits, _int4_decode, _nf4_decode, dequantize,
+    _fp4_decode_bits, _int4_decode, _nf4_decode, _nf4_decode_bits, dequantize,
 )
 
 # 4-bit codec name -> in-kernel nibble decode fn. "fp4" uses the f32
 # bit-assembly decode (_fp4_decode_bits) — chip-raced against the select
 # chain; "fp4_sel" keeps the select-chain variant for A/B measurement.
+# "nf4" likewise defaults to the packed bf16-word assembly
+# (_nf4_decode_bits, 7 selects); "nf4_sel" keeps the full 15-select
+# codebook tree (exact f32 constants) for A/B and for callers that need
+# bit-identical agreement with the XLA dequantize() oracle.
 _DECODERS = {
-    "nf4": _nf4_decode,
+    "nf4": _nf4_decode_bits,
+    "nf4_sel": _nf4_decode,
     "fp4": _fp4_decode_bits,
     "fp4_sel": _fp4_decode,
     "int4": _int4_decode,

@@ -214,6 +214,44 @@ def _nf4_decode(code: jax.Array) -> jax.Array:
     return jnp.where((c & 8) != 0, stage[1], stage[0])
 
 
+# NF4 codebook rounded to bf16 and packed two-per-int32-word (word i holds
+# codes 2i at bits [0,16) and 2i+1 at bits [16,32), each as bf16 bit
+# patterns). A bf16 value's f32 bit pattern is its 16 bits shifted into the
+# high half, so decode is: 3-bit select tree over words (7 selects, half the
+# codebook tree's 15) + one shift/mask on the last code bit + a free bitcast.
+# bf16 rounding perturbs the codebook by <= 0.31% relative — an order below
+# the 4-bit block-quantization error itself (ppl gates in tests/test_evaluate
+# hold for both variants).
+def _nf4_packed_words() -> list:
+    import ml_dtypes
+    u16 = NF4_CODEBOOK.astype(ml_dtypes.bfloat16).view(np.uint16)
+    return [int(u16[2 * i]) | (int(u16[2 * i + 1]) << 16) for i in range(8)]
+
+
+_NF4_WORDS = _nf4_packed_words()
+
+
+def _nf4_decode_bits(code: jax.Array) -> jax.Array:
+    """NF4 code → bf16-rounded codebook value via packed-word bit assembly
+    (the VPU-lean variant of ``_nf4_decode``; ~14 vector ops vs ~19)."""
+    c = code.astype(jnp.int32)
+    # sign-safe int32 constants (words >= 0x80000000 would overflow int32)
+    w = [jnp.int32(np.int32(np.uint32(x))) for x in _NF4_WORDS]
+    b1 = (c & 2) != 0
+    t0 = jnp.where(b1, w[1], w[0])
+    t1 = jnp.where(b1, w[3], w[2])
+    t2 = jnp.where(b1, w[5], w[4])
+    t3 = jnp.where(b1, w[7], w[6])
+    b2 = (c & 4) != 0
+    u0 = jnp.where(b2, t1, t0)
+    u1 = jnp.where(b2, t3, t2)
+    word = jnp.where((c & 8) != 0, u1, u0)
+    bits = jnp.where((c & 1) != 0,
+                     word & jnp.int32(np.int32(np.uint32(0xFFFF0000))),
+                     word << 16)
+    return lax.bitcast_convert_type(bits, jnp.float32)
+
+
 def _dequant4(w: Any, decode, dtype) -> jax.Array:
     """Decode a 4-bit container's int32 words to the full matrix."""
     vals = decode(_unpack_nibbles(w.packed))

@@ -324,3 +324,33 @@ def test_int4_model_end_to_end():
     out = autoregressive_generate([3, 5, 9], CFG, qp, max_gen_len=6,
                                   eos_tokens_id=(), key=jax.random.key(1))
     assert len(out) == 6
+
+
+def test_nf4_decode_bits_matches_codebook():
+    """The packed bf16-word decode must equal the f32 codebook rounded to
+    bf16 — exactly (bit-assembly is not an approximation beyond the bf16
+    rounding of the table)."""
+    import ml_dtypes
+    from specdec_tpu.quant.core import _nf4_decode_bits
+
+    codes = jnp.arange(16, dtype=jnp.int32)
+    got = np.asarray(_nf4_decode_bits(codes))
+    want = NF4_CODEBOOK.astype(ml_dtypes.bfloat16).astype(np.float32)
+    np.testing.assert_array_equal(got, want)
+    # and the rounding is far below the 4-bit block-quant error
+    rel = np.max(np.abs(got - NF4_CODEBOOK) / np.maximum(np.abs(NF4_CODEBOOK), 1e-9))
+    assert rel < 0.0032
+
+
+def test_nf4_bits_kernel_matches_oracle_interpret():
+    key = jax.random.key(11)
+    w = jax.random.normal(key, (512, 256), jnp.float32) * 0.1
+    qw = quantize_nf4(w)
+    x = jax.random.normal(jax.random.key(12), (4, 512), jnp.bfloat16)
+    with pltpu.force_tpu_interpret_mode():
+        out = _nf4_matmul_2d(x, qw.packed, qw.absmax, tile_n=128, tile_k=512,
+                             codec="nf4")  # default codec = packed bits decode
+    oracle = x.astype(jnp.float32) @ dequantize(qw, jnp.float32)
+    np.testing.assert_allclose(np.asarray(out, dtype=np.float32),
+                               np.asarray(oracle),
+                               rtol=2e-2, atol=2e-1)

@@ -7,7 +7,8 @@ round 1 measured NF4/FP4 AR at 108-122 tok/s (VPU-bound in the ~20-op/weight
 nibble decode) vs INT8's 488, and the candidate fixes differ only in the
 in-kernel decode:
 
-- ``nf4``      — 15-select codebook tree (round-1 default)
+- ``nf4``      — packed bf16-word bit assembly, 7 selects (round-2 default)
+- ``nf4_sel``  — 15-select codebook tree (round-1 default)
 - ``fp4_sel``  — e2m1 arithmetic decode via float select chain (round 1)
 - ``fp4``      — e2m1 decode via f32 *bit assembly* (integer ops + bitcast)
 - ``int4``     — symmetric ±7 grid: (c − 8) * absmax, ~3 ops/weight
@@ -75,6 +76,9 @@ VARIANTS = {
     "int8_pallas": (quantize_int8, lambda x, w: _int8_matmul_2d(x, w.q, w.scale)),
     "nf4": (quantize_nf4,
             lambda x, w: _nf4_matmul_2d(x, w.packed, w.absmax, codec="nf4")),
+    "nf4_sel": (quantize_nf4,
+                lambda x, w: _nf4_matmul_2d(x, w.packed, w.absmax,
+                                            codec="nf4_sel")),
     "fp4_sel": (quantize_fp4,
                 lambda x, w: _nf4_matmul_2d(x, w.packed, w.absmax,
                                             codec="fp4_sel")),
