@@ -26,7 +26,11 @@ def run_server_benchmark(
 ) -> BenchmarkResults:
     """Submit ``prompts`` at ``rate`` req/s (open loop), drive the batcher
     until drained (or ``duration`` reached with queue cut off), and aggregate
-    reference-schema results (one BatchMetrics per completed request)."""
+    reference-schema results (one BatchMetrics per completed request).
+
+    ``batcher`` is any scheduler with the ContinuousBatcher submit/step/
+    queue/completed surface — the slotted, paged, and device-NASD
+    (serve.nasd_scheduler.NasdContinuousBatcher) batchers all qualify."""
     results = BenchmarkResults(method=method_name)
     start = time.time()
     results.start_time = start

@@ -19,6 +19,7 @@ RPC round-trip per window on remote-dispatch backends).
 """
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import List, Optional, Sequence, Tuple
 
@@ -26,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from specdec_tpu.core.cache import init_cache
+from specdec_tpu.core.cache import KVCache, init_cache
 from specdec_tpu.core.config import ModelConfig
 from specdec_tpu.core.model import forward_step
 from specdec_tpu.ngram.device_table import (
@@ -35,6 +36,157 @@ from specdec_tpu.ngram.device_table import (
 )
 from specdec_tpu.sampling.processors import GreedyProcessor, LogitsProcessor
 from specdec_tpu.sampling.utils import eos_mask, normalize_eos, pad_to_bucket
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class NasdState:
+    """Device-resident per-sequence state of a device-NASD generation.
+
+    Field names intentionally match engine.batch_engine.BatchState (minus the
+    drafter cache — the drafter here is the shared DeviceNGramTable, carried
+    separately because it is GLOBAL across slots) so the batch engine's
+    ``_pack_state``/``_unpack_state`` single-pull harvest works unchanged.
+    """
+
+    buf: jax.Array         # [B, S]
+    pos: jax.Array         # [B]
+    prompt_len: jax.Array  # [B]
+    total_len: jax.Array   # [B]
+    finished: jax.Array    # [B] bool
+    t_cache: KVCache       # target cache (the only model in NASD)
+    accepted: jax.Array    # [B]
+    speculated: jax.Array  # [B]
+
+
+def _nasd_window_body(cfg: ModelConfig, params, state: NasdState,
+                      table: DeviceNGramTable, gamma: int,
+                      processor: LogitsProcessor, eos_ids: Tuple[int, ...],
+                      filler_k: int, stop_if_unknown: bool,
+                      key: jax.Array) -> Tuple[NasdState, DeviceNGramTable]:
+    """One NASD draft/verify/accept/table-update window for the whole batch
+    (traceable body shared by the one-shot batch generator and the serving
+    scheduler's fused multi-window step — one implementation, never drift)."""
+    buf, pos, finished = state.buf, state.pos, state.finished
+    total_len = state.total_len
+    B = buf.shape[0]
+    rows = jnp.arange(B)
+    n_ctx = table.orders[0] - 1
+    V = cfg.vocab_size
+    k_draft, k_sample = jax.random.split(key)
+
+    def draft_step(carry, k):
+        buf, known_all = carry
+        ctxs = jax.vmap(
+            lambda b: lax.dynamic_slice(buf[b], (pos[b] + k - n_ctx,),
+                                        (n_ctx,)))(rows)
+        keys = jax.random.split(jax.random.fold_in(k_draft, k), B)
+        toks, known = jax.vmap(
+            lambda c, kk: table_lookup(table, c, kk, V))(ctxs, keys)
+        buf = buf.at[rows, pos + k].set(toks.astype(jnp.int32))
+        return (buf, known_all.at[:, k].set(known)), toks
+
+    (buf, known), drafts_t = lax.scan(
+        draft_step, (buf, jnp.zeros((B, gamma), bool)),
+        jnp.arange(gamma))
+    drafts = drafts_t.T.astype(jnp.int32)               # [B, gamma]
+
+    corrected_gamma = jnp.clip(total_len - pos - 1, 0, gamma)
+    if stop_if_unknown:
+        unk = ~known
+        eff = jnp.where(jnp.any(unk, axis=1), jnp.argmax(unk, axis=1),
+                        gamma)
+    else:
+        eff = jnp.full((B,), gamma, jnp.int32)
+    eff = jnp.minimum(eff, corrected_gamma)
+
+    first_tok = jnp.take_along_axis(buf, (pos - 1)[:, None], axis=1)
+    t_in = jnp.concatenate([first_tok, drafts], axis=1)  # [B, g+1]
+    logits, cache = forward_step(cfg, params, t_in, state.t_cache)
+    p = processor(logits)                                # [B, g+1, V]
+    keys = jax.random.split(k_sample, B * (gamma + 1))
+    samples = jax.vmap(processor.sample)(
+        p.reshape(B * (gamma + 1), V), keys)
+    samples = samples.reshape(B, gamma + 1).astype(jnp.int32)
+
+    idx = jnp.arange(gamma)[None, :]
+    mismatch = (samples[:, :gamma] != drafts) & (idx < eff[:, None])
+    n = jnp.where(jnp.any(mismatch, axis=1), jnp.argmax(mismatch, axis=1),
+                  eff)
+
+    buf = buf.at[rows, pos + n].set(samples[rows, n])
+    cidx = jnp.arange(gamma + 1)[None, :]
+    cand = jnp.where(cidx < n[:, None],
+                     drafts[rows[:, None],
+                            jnp.minimum(cidx, gamma - 1)], 0)
+    cand = cand.at[rows, n].set(samples[rows, n])
+    remaining = total_len - pos
+    advance = jnp.minimum(n + 1, remaining)
+    is_eos = eos_mask(cand, eos_ids) & (cidx <= n[:, None])
+    any_eos = jnp.any(is_eos & (cidx < advance[:, None]), axis=1)
+    first_eos = jnp.argmax(is_eos, axis=1)
+    advance = jnp.where(any_eos, jnp.minimum(first_eos + 1, advance),
+                        advance)
+    advance = jnp.where(finished, 0, advance)
+
+    fillers = lax.top_k(p, filler_k)[1].astype(jnp.int32)  # [B, g+1, k]
+
+    def upd_seq(b, tbl):
+        def upd(i, t):
+            ctx = lax.dynamic_slice(buf[b], (pos[b] + i - n_ctx,),
+                                    (n_ctx,))
+            tok_i = buf[b, pos[b] + i]
+            # fillers FIRST, committed token LAST: the recency table
+            # keeps the last writer, and the actual continuation must
+            # win (the host store's count-argmax gets this for free;
+            # writing fillers last measurably corrupted every
+            # prediction to the k-th-best)
+            if filler_k > 1:
+                def fupd(j, tt):
+                    return table_update(tt, ctx, fillers[b, i, j])
+                t = lax.fori_loop(0, filler_k, fupd, t)
+            return table_update(t, ctx, tok_i)
+        return lax.fori_loop(0, advance[b], upd, tbl)
+
+    table = lax.fori_loop(0, B, upd_seq, table)
+
+    new_pos = pos + advance
+    finished = finished | any_eos | (new_pos >= total_len)
+    accepted = state.accepted + jnp.where(
+        advance > 0, jnp.minimum(n, corrected_gamma), 0)
+    speculated = state.speculated + jnp.where(advance > 0, eff, 0)
+    state = dataclasses.replace(
+        state, buf=buf, pos=new_pos, finished=finished,
+        t_cache=cache.with_length(new_pos - 1),
+        accepted=accepted, speculated=speculated)
+    return state, table
+
+
+@partial(jax.jit, static_argnames=(
+    "cfg", "gamma", "processor", "eos_ids", "filler_k", "stop_if_unknown",
+    "max_windows"), donate_argnames=("state", "table"))
+def nasd_spec_windows(cfg: ModelConfig, params, state: NasdState,
+                      table: DeviceNGramTable, gamma: int,
+                      processor: LogitsProcessor, eos_ids: Tuple[int, ...],
+                      filler_k: int, stop_if_unknown: bool, key: jax.Array,
+                      max_windows: int) -> Tuple[NasdState, DeviceNGramTable]:
+    """Up to ``max_windows`` NASD windows in ONE device program with early
+    exit — the serving scheduler's windows_per_sync step (mirror of
+    engine.batch_engine.batch_spec_windows)."""
+
+    def cond(st):
+        i, state, table = st
+        return (i < max_windows) & jnp.any(~state.finished)
+
+    def body(st):
+        i, state, table = st
+        state, table = _nasd_window_body(
+            cfg, params, state, table, gamma, processor, eos_ids, filler_k,
+            stop_if_unknown, jax.random.fold_in(key, i))
+        return (i + 1, state, table)
+
+    _, state, table = lax.while_loop(cond, body, (jnp.int32(0), state, table))
+    return state, table
 
 
 @partial(jax.jit, static_argnames=(
@@ -56,7 +208,6 @@ def _device_nasd_generate_batch(
     B, P = prompts.shape
     S = P + gen_len + gamma + 2
     n_ctx = table.orders[0] - 1
-    V = cfg.vocab_size
     max_windows = gen_len + 1
     rows = jnp.arange(B)
 
@@ -85,106 +236,26 @@ def _device_nasd_generate_batch(
 
     pos = prompt_lens + 1
     finished0 = eos_mask(tok0, eos_ids) | (pos >= total_len)
+    zeros = jnp.zeros((B,), jnp.int32)
+    state0 = NasdState(buf=buf, pos=pos, prompt_len=prompt_lens,
+                       total_len=total_len, finished=finished0,
+                       t_cache=cache, accepted=zeros, speculated=zeros)
 
     def cond(st):
-        (buf, pos, cache, table, finished, accepted, speculated, window) = st
-        return jnp.any(~finished) & (window < max_windows)
+        state, table, window = st
+        return jnp.any(~state.finished) & (window < max_windows)
 
     def body(st):
-        (buf, pos, cache, table, finished, accepted, speculated, window) = st
-        wkey = jax.random.fold_in(key, window)
-        k_draft, k_sample = jax.random.split(wkey)
+        state, table, window = st
+        state, table = _nasd_window_body(
+            cfg, params, state, table, gamma, processor, eos_ids, filler_k,
+            stop_if_unknown, jax.random.fold_in(key, window))
+        return (state, table, window + 1)
 
-        def draft_step(carry, k):
-            buf, known_all = carry
-            ctxs = jax.vmap(
-                lambda b: lax.dynamic_slice(buf[b], (pos[b] + k - n_ctx,),
-                                            (n_ctx,)))(rows)
-            keys = jax.random.split(jax.random.fold_in(k_draft, k), B)
-            toks, known = jax.vmap(
-                lambda c, kk: table_lookup(table, c, kk, V))(ctxs, keys)
-            buf = buf.at[rows, pos + k].set(toks.astype(jnp.int32))
-            return (buf, known_all.at[:, k].set(known)), toks
-
-        (buf, known), drafts_t = lax.scan(
-            draft_step, (buf, jnp.zeros((B, gamma), bool)),
-            jnp.arange(gamma))
-        drafts = drafts_t.T.astype(jnp.int32)               # [B, gamma]
-
-        corrected_gamma = jnp.clip(total_len - pos - 1, 0, gamma)
-        if stop_if_unknown:
-            unk = ~known
-            eff = jnp.where(jnp.any(unk, axis=1), jnp.argmax(unk, axis=1),
-                            gamma)
-        else:
-            eff = jnp.full((B,), gamma, jnp.int32)
-        eff = jnp.minimum(eff, corrected_gamma)
-
-        first_tok = jnp.take_along_axis(buf, (pos - 1)[:, None], axis=1)
-        t_in = jnp.concatenate([first_tok, drafts], axis=1)  # [B, g+1]
-        logits, cache = forward_step(cfg, params, t_in, cache)
-        p = processor(logits)                                # [B, g+1, V]
-        keys = jax.random.split(k_sample, B * (gamma + 1))
-        samples = jax.vmap(processor.sample)(
-            p.reshape(B * (gamma + 1), V), keys)
-        samples = samples.reshape(B, gamma + 1).astype(jnp.int32)
-
-        idx = jnp.arange(gamma)[None, :]
-        mismatch = (samples[:, :gamma] != drafts) & (idx < eff[:, None])
-        n = jnp.where(jnp.any(mismatch, axis=1), jnp.argmax(mismatch, axis=1),
-                      eff)
-
-        buf = buf.at[rows, pos + n].set(samples[rows, n])
-        cidx = jnp.arange(gamma + 1)[None, :]
-        cand = jnp.where(cidx < n[:, None],
-                         drafts[rows[:, None],
-                                jnp.minimum(cidx, gamma - 1)], 0)
-        cand = cand.at[rows, n].set(samples[rows, n])
-        remaining = total_len - pos
-        advance = jnp.minimum(n + 1, remaining)
-        is_eos = eos_mask(cand, eos_ids) & (cidx <= n[:, None])
-        any_eos = jnp.any(is_eos & (cidx < advance[:, None]), axis=1)
-        first_eos = jnp.argmax(is_eos, axis=1)
-        advance = jnp.where(any_eos, jnp.minimum(first_eos + 1, advance),
-                            advance)
-        advance = jnp.where(finished, 0, advance)
-
-        fillers = lax.top_k(p, filler_k)[1].astype(jnp.int32)  # [B, g+1, k]
-
-        def upd_seq(b, tbl):
-            def upd(i, t):
-                ctx = lax.dynamic_slice(buf[b], (pos[b] + i - n_ctx,),
-                                        (n_ctx,))
-                tok_i = buf[b, pos[b] + i]
-                # fillers FIRST, committed token LAST: the recency table
-                # keeps the last writer, and the actual continuation must
-                # win (the host store's count-argmax gets this for free;
-                # writing fillers last measurably corrupted every
-                # prediction to the k-th-best)
-                if filler_k > 1:
-                    def fupd(j, tt):
-                        return table_update(tt, ctx, fillers[b, i, j])
-                    t = lax.fori_loop(0, filler_k, fupd, t)
-                return table_update(t, ctx, tok_i)
-            return lax.fori_loop(0, advance[b], upd, tbl)
-
-        table = lax.fori_loop(0, B, upd_seq, table)
-
-        new_pos = pos + advance
-        finished = finished | any_eos | (new_pos >= total_len)
-        accepted = accepted + jnp.where(advance > 0,
-                                        jnp.minimum(n, corrected_gamma), 0)
-        speculated = speculated + jnp.where(advance > 0, eff, 0)
-        cache = cache.with_length(new_pos - 1)
-        return (buf, new_pos, cache, table, finished, accepted, speculated,
-                window + 1)
-
-    st = (buf, pos, cache, table, finished0, jnp.zeros((B,), jnp.int32),
-          jnp.zeros((B,), jnp.int32), jnp.int32(0))
-    (buf, pos, _, table, _, accepted, speculated, _) = lax.while_loop(
-        cond, body, st)
+    state, table, _ = lax.while_loop(cond, body, (state0, table, jnp.int32(0)))
     packed = jnp.concatenate(
-        [buf, jnp.stack([pos - prompt_lens, accepted, speculated], axis=1)],
+        [state.buf, jnp.stack([state.pos - prompt_lens, state.accepted,
+                               state.speculated], axis=1)],
         axis=1)
     return packed, table
 
