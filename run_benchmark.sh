@@ -28,7 +28,9 @@ export DP_SIZE=${DP_SIZE:-0}
 # presets: llama-1b llama-8b llama-160m llama-70m pythia-70m pythia-410m tiny
 # (append -ls<k> for a LayerSkip-damped variant, e.g. llama-1b-ls4).
 # DRAFTER_MODEL also accepts layerskip:<k> — self-speculation from the
-# target's own first k layers (no second checkpoint).
+# target's own first k layers (no second checkpoint) — and
+# eagle:<depth>[@steps] — an EAGLE feature-predictor head over the target's
+# residual stream, optionally on-policy-trained for <steps> at load.
 export TARGET_MODEL=${TARGET_MODEL:-"synthetic:llama-1b"}
 export DRAFTER_MODEL=${DRAFTER_MODEL:-"synthetic:llama-70m"}
 export MODEL_DTYPE=${MODEL_DTYPE:-"bfloat16"}      # bfloat16 | float32

@@ -66,6 +66,7 @@ class InferenceCLI:
         self.target_params = bundle["target"]["params"]
         self.drafter_cfg = bundle["drafter"]["cfg"]
         self.drafter_params = bundle["drafter"]["params"]
+        self.eagle_drafter = bool(bundle["drafter"].get("eagle"))
         self.tokenizer = bundle["tokenizer"]
         self.end_tokens = bundle["end_tokens"]
         self.pad_token_id = bundle["pad_token_id"]
@@ -94,13 +95,27 @@ class InferenceCLI:
 
         if self.spec:
             t0 = time.time()
-            out, rate = speculative_generate(
-                ids, self.drafter_cfg, self.drafter_params,
-                self.target_cfg, self.target_params,
-                tokenizer=self.tokenizer, gamma=self.gamma,
-                logits_processor=self.processor, max_gen_len=self.gen_len,
-                eos_tokens_id=self.end_tokens, pad_token_id=self.pad_token_id,
-                key=key, debug=self.debug)
+            if self.eagle_drafter:
+                from specdec_tpu.sampling.eagle_speculative import (
+                    eagle_generate,
+                )
+                out, rate = eagle_generate(
+                    ids, self.drafter_cfg, self.drafter_params,
+                    self.target_cfg, self.target_params,
+                    tokenizer=self.tokenizer, gamma=self.gamma,
+                    logits_processor=self.processor,
+                    max_gen_len=self.gen_len, eos_tokens_id=self.end_tokens,
+                    pad_token_id=self.pad_token_id, key=key,
+                    debug=self.debug)
+            else:
+                out, rate = speculative_generate(
+                    ids, self.drafter_cfg, self.drafter_params,
+                    self.target_cfg, self.target_params,
+                    tokenizer=self.tokenizer, gamma=self.gamma,
+                    logits_processor=self.processor,
+                    max_gen_len=self.gen_len, eos_tokens_id=self.end_tokens,
+                    pad_token_id=self.pad_token_id, key=key,
+                    debug=self.debug)
             dt = time.time() - t0
             results["speculative"] = (out, dt)
             print(f"[speculative]  ({dt:.2f}s, accept {rate:.3f}) "
@@ -132,7 +147,11 @@ class InferenceCLI:
             results["target"] = (out, dt)
             print(f"[target AR]    ({dt:.2f}s) {self.tokenizer.decode(out)}")
 
-        if self.dr:
+        if self.dr and self.eagle_drafter:
+            print("[drafter AR]   n/a: an eagle drafter has no standalone "
+                  "AR mode (it predicts features, not tokens, and reuses "
+                  "the target's head)")
+        elif self.dr:
             t0 = time.time()
             out = autoregressive_generate(
                 ids, self.drafter_cfg, self.drafter_params,

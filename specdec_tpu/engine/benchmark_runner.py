@@ -153,6 +153,9 @@ class BenchmarkRunner:
             self.drafter_params = bundle["drafter"]["params"]
         else:
             self.drafter_cfg = self.drafter_params = None
+        # eagle drafters (DRAFTER_MODEL=eagle:<depth>[@steps]) dispatch the
+        # speculative method through engine/eagle_batch.py
+        self.eagle_drafter = bool((bundle["drafter"] or {}).get("eagle"))
         self.tokenizer = bundle["tokenizer"]
         self.end_tokens = bundle["end_tokens"]
         self.pad_token_id = bundle["pad_token_id"]

@@ -129,6 +129,17 @@ def _run_spec(ctx, prompt_ids) -> Optional[BatchMetrics]:
                     pad_token_id=ctx.pad_token_id,
                     key=ctx.request_key(),
                     first_token_callback=on_first_token)
+        elif getattr(ctx, "eagle_drafter", False):
+            # EAGLE feature-predictor drafter (DRAFTER_MODEL=eagle:<depth>):
+            # whole-batch feature-drafted windows, engine/eagle_batch.py
+            from specdec_tpu.engine.eagle_batch import batch_eagle_generate
+            outputs, rates = batch_eagle_generate(
+                prompt_ids, ctx.drafter_cfg, ctx.drafter_params,
+                ctx.target_cfg, ctx.target_params,
+                gamma=ctx.gamma, gen_len=ctx.gen_len,
+                logits_processor=ctx.processor, eos_tokens_id=ctx.end_tokens,
+                pad_token_id=ctx.pad_token_id, key=ctx.request_key(),
+                first_token_callback=on_first_token)
         else:
             outputs, rates = batch_speculative_generate(
                 prompt_ids, ctx.drafter_cfg, ctx.drafter_params,

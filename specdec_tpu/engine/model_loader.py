@@ -167,7 +167,8 @@ def load_models(
     target, tok_path = load_one(target_model_path, quant=quantization)
     drafter = None
     layerskip = (drafter_model_path or "").startswith("layerskip:")
-    if drafter_model_path and not layerskip:
+    eagle = (drafter_model_path or "").startswith("eagle:")
+    if drafter_model_path and not (layerskip or eagle):
         drafter, d_tok_path = load_one(drafter_model_path,
                                        quant=drafter_quantization)
         tok_path = tok_path or d_tok_path
@@ -224,13 +225,52 @@ def load_models(
         if "quantized" in target:
             drafter["quantized"] = target["quantized"]
 
+    if eagle:
+        # EAGLE feature-predictor drafter (core/eagle.py): rides on the
+        # target's own residual stream + shared head. Spec
+        # ``eagle:<depth>[@<steps>]`` — depth = drafter transformer blocks
+        # (1 = classic EAGLE), optional @steps runs on-policy training
+        # against the loaded target at load time (engine/eagle_train.py;
+        # checkpoint-trained EAGLE heads would load here instead when
+        # available). With a QUANTIZED target, training needs the
+        # differentiable dequant path (SPECDEC_QUANT_KERNEL=xla) — the
+        # fused Pallas kernels define no VJP.
+        from specdec_tpu.core.eagle import init_eagle_params
+        spec = drafter_model_path.split(":", 1)[1]
+        depth, _, steps = spec.partition("@")
+        depth, steps = int(depth), int(steps or 0)
+        t_cfg = target["cfg"]
+        assert 0 < depth < t_cfg.num_layers, \
+            f"eagle:{depth} needs 1..{t_cfg.num_layers - 1} layers"
+        e_cfg = t_cfg.replace(num_layers=depth)
+        seed = abs(hash(("eagle", target_model_path, depth))) % (2 ** 31)
+        e_params = init_eagle_params(e_cfg, jax.random.key(seed))
+        if steps > 0:
+            from specdec_tpu.engine.eagle_train import train_eagle
+            e_params, acc = train_eagle(
+                t_cfg, target["params"], e_cfg, e_params, steps=steps,
+                batch_size=int(os.getenv("EAGLE_TRAIN_BATCH", "8")),
+                seq_len=int(os.getenv("EAGLE_TRAIN_SEQ", "128")),
+                key=jax.random.key(seed + 1))
+            print(f"eagle drafter trained {steps} steps: "
+                  f"teacher-forced acceptance proxy {acc:.3f}")
+        drafter = {"cfg": e_cfg, "params": e_params, "eagle": True}
+
     if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
         from specdec_tpu.parallel.mesh import shard_params
         target["params"] = shard_params(target["params"], target["cfg"], mesh,
                                         replicated=False)
         if drafter is not None:
-            drafter["params"] = shard_params(drafter["params"], drafter["cfg"],
-                                             mesh, replicated=True)
+            if drafter.get("eagle"):
+                # eagle params are {fc_w, fc_b, layers} — not the standard
+                # model pytree param_pspecs covers; replicate every leaf
+                rep = NamedSharding(mesh, PartitionSpec())
+                drafter["params"] = jax.tree.map(
+                    lambda x: jax.device_put(x, rep), drafter["params"])
+            else:
+                drafter["params"] = shard_params(
+                    drafter["params"], drafter["cfg"], mesh, replicated=True)
 
     if drafter is not None:
         assert drafter["cfg"].vocab_size == target["cfg"].vocab_size, (

@@ -290,3 +290,21 @@ def test_gamma_tuner_calibrated_against_measured_sweep():
     g, s = best_gamma(a, 4 / 22, window_overhead=0.57)
     assert 10 <= g <= 16, (g, s)
     assert s > expected_speedup(a, 4, 4 / 22, window_overhead=0.57) * 1.25
+
+
+def test_benchmark_runner_eagle_drafter(bench_env, monkeypatch):
+    """DRAFTER_MODEL=eagle:<depth>@<steps> builds + trains an EAGLE drafter
+    at load and dispatches the speculative method through the batched EAGLE
+    engine."""
+    monkeypatch.setenv("INFERENCE_METHOD", "speculative")
+    monkeypatch.setenv("DRAFTER_MODEL", "eagle:1@5")
+    monkeypatch.setenv("EAGLE_TRAIN_BATCH", "2")
+    monkeypatch.setenv("EAGLE_TRAIN_SEQ", "32")
+    from specdec_tpu.engine.benchmark_runner import BenchmarkRunner
+
+    runner = BenchmarkRunner()
+    assert runner.eagle_drafter
+    assert "fc_w" in runner.drafter_params
+    res = runner.spec_results
+    assert res.total_requests == 2
+    assert res.total_tokens > 0
