@@ -1,0 +1,123 @@
+"""EAGLE serving tests: feature-drafted speculative decoding inside the
+continuous batching scheduler. EAGLE acceptance is probabilistic even under
+greedy (r vs softmax ratio — same property as test_eagle.py), so the oracles
+here are determinism per key, completion/metrics structure, queue draining,
+and acceptance parity with the one-shot batched engine (a broken feature-row
+install at admission would collapse a trained drafter's acceptance)."""
+import numpy as np
+import pytest
+import jax
+
+from specdec_tpu.core.config import tiny_config
+from specdec_tpu.core.eagle import init_eagle_params
+from specdec_tpu.core.model import init_params
+from specdec_tpu.engine.eagle_batch import batch_eagle_generate
+from specdec_tpu.engine.eagle_train import train_eagle
+from specdec_tpu.sampling.processors import MultinomialProcessor
+from specdec_tpu.serve import EagleContinuousBatcher
+
+VOCAB = 32
+CFG = tiny_config(vocab_size=VOCAB, num_layers=3, hidden_size=32,
+                  intermediate_size=64, num_heads=4, num_kv_heads=2,
+                  head_dim=8)
+ECFG = CFG.replace(num_layers=1)
+
+PROMPTS = [
+    [3, 14, 15, 9, 2, 6],
+    [1, 1, 2, 3, 5, 8, 13, 21],
+    [27, 4, 11],
+    [9, 9, 9, 1, 2],
+]
+
+
+@pytest.fixture(scope="module")
+def models():
+    target = init_params(CFG, jax.random.key(0), scale=0.4)
+    eagle = init_eagle_params(ECFG, jax.random.key(1))
+    trained, _ = train_eagle(CFG, target, ECFG, eagle, steps=200,
+                             batch_size=8, seq_len=48, learning_rate=5e-3,
+                             cls_weight=1.0, key=jax.random.key(11))
+    return target, eagle, trained
+
+
+def _run(target, eagle, key=0, slots=2, wps=1, gen=12):
+    cb = EagleContinuousBatcher(ECFG, eagle, CFG, target, num_slots=slots,
+                                gamma=3, max_prompt_len=64,
+                                max_new_tokens=gen, eos_tokens_id=(),
+                                windows_per_sync=wps,
+                                key=jax.random.key(key))
+    ids = [cb.submit(p) for p in PROMPTS]
+    done = cb.run()
+    return ids, done
+
+
+def test_eagle_serving_completes_and_deterministic(models):
+    target, eagle, _ = models
+    ids1, done1 = _run(target, eagle, key=5)
+    ids2, done2 = _run(target, eagle, key=5)
+    assert sorted(done1.keys()) == sorted(ids1)
+    for r1, r2 in zip(ids1, ids2):
+        out = done1[r1].output_ids
+        assert out == done2[r2].output_ids
+        assert len(out) == 12
+        assert all(0 <= t < VOCAB for t in out)
+        m = done1[r1].metrics
+        assert m.generated_tokens == 12
+        assert 0.0 <= m.acceptance_rate <= 1.0
+        assert m.total_latency > 0 and m.ttft >= 0
+
+
+def test_eagle_serving_more_requests_than_slots(models):
+    target, _, trained = models
+    ids, done = _run(target, trained, slots=1, wps=4, gen=10)
+    assert sorted(done.keys()) == sorted(ids)
+    assert all(len(done[r].output_ids) == 10 for r in ids)
+
+
+def test_eagle_serving_acceptance_tracks_batch_engine(models):
+    """A trained drafter's serving acceptance must track the one-shot batched
+    engine's (same window body; RNG differs, compare means) and beat the
+    untrained drafter's — this catches a broken fbuf row install at
+    admission, which would feed the drafter zero features."""
+    target, eagle0, trained = models
+    proc = MultinomialProcessor(temperature=1.0)
+
+    def serve_rates(params):
+        cb = EagleContinuousBatcher(ECFG, params, CFG, target, num_slots=2,
+                                    gamma=4, max_prompt_len=64,
+                                    max_new_tokens=24, eos_tokens_id=(),
+                                    logits_processor=proc,
+                                    key=jax.random.key(7))
+        ids = [cb.submit(p) for p in PROMPTS]
+        done = cb.run()
+        return [done[r].metrics.acceptance_rate for r in ids]
+
+    _, engine_rates = batch_eagle_generate(
+        PROMPTS, ECFG, trained, CFG, target, gamma=4, gen_len=24,
+        eos_tokens_id=(), logits_processor=proc, key=jax.random.key(8))
+
+    m_serve = float(np.mean(serve_rates(trained)))
+    m_engine = float(np.mean(engine_rates))
+    assert m_serve > 0.0
+    assert abs(m_serve - m_engine) < 0.15, (m_serve, m_engine)
+    assert m_serve > float(np.mean(serve_rates(eagle0)))
+
+
+def test_eagle_serving_eos_frees_slot(models):
+    target, _, trained = models
+    # find a token that actually appears in a no-EOS run's output
+    cb = EagleContinuousBatcher(ECFG, trained, CFG, target, num_slots=1,
+                                gamma=3, max_prompt_len=64, max_new_tokens=10,
+                                eos_tokens_id=(), key=jax.random.key(9))
+    r0 = cb.submit(PROMPTS[0])
+    probe = cb.run()[r0].output_ids
+    eos = probe[4]
+
+    cb = EagleContinuousBatcher(ECFG, trained, CFG, target, num_slots=1,
+                                gamma=3, max_prompt_len=64, max_new_tokens=10,
+                                eos_tokens_id=(eos,), key=jax.random.key(9))
+    r1 = cb.submit(PROMPTS[0])
+    r2 = cb.submit(PROMPTS[1])
+    done = cb.run()
+    assert done[r1].output_ids == probe[:probe.index(eos) + 1]
+    assert len(done) == 2 and done[r2].output_ids is not None
