@@ -237,24 +237,39 @@ def load_models(
         # fused Pallas kernels define no VJP.
         from specdec_tpu.core.eagle import init_eagle_params
         spec = drafter_model_path.split(":", 1)[1]
-        depth, _, steps = spec.partition("@")
-        depth, steps = int(depth), int(steps or 0)
         t_cfg = target["cfg"]
-        assert 0 < depth < t_cfg.num_layers, \
-            f"eagle:{depth} needs 1..{t_cfg.num_layers - 1} layers"
-        e_cfg = t_cfg.replace(num_layers=depth)
-        seed = abs(hash(("eagle", target_model_path, depth))) % (2 ** 31)
-        e_params = init_eagle_params(e_cfg, jax.random.key(seed))
-        if steps > 0:
-            from specdec_tpu.engine.eagle_train import train_eagle
-            e_params, acc = train_eagle(
-                t_cfg, target["params"], e_cfg, e_params, steps=steps,
-                batch_size=int(os.getenv("EAGLE_TRAIN_BATCH", "8")),
-                seq_len=int(os.getenv("EAGLE_TRAIN_SEQ", "128")),
-                key=jax.random.key(seed + 1))
-            print(f"eagle drafter trained {steps} steps: "
-                  f"teacher-forced acceptance proxy {acc:.3f}")
-        drafter = {"cfg": e_cfg, "params": e_params, "eagle": True}
+        if "/" in spec or os.path.isdir(spec):
+            # eagle:<checkpoint-dir> — a head saved by engine/checkpoint.py
+            # (train once — eagle:<depth>@<steps> with EAGLE_SAVE — serve
+            # many); depth comes from the stacked layer axis
+            from specdec_tpu.engine.checkpoint import load_params
+            e_params = load_params(spec)
+            depth = int(e_params["layers"]["wo"].shape[0])
+            e_cfg = t_cfg.replace(num_layers=depth)
+            drafter = {"cfg": e_cfg, "params": e_params, "eagle": True}
+        else:
+            depth, _, steps = spec.partition("@")
+            depth, steps = int(depth), int(steps or 0)
+            assert 0 < depth < t_cfg.num_layers, \
+                f"eagle:{depth} needs 1..{t_cfg.num_layers - 1} layers"
+            e_cfg = t_cfg.replace(num_layers=depth)
+            seed = abs(hash(("eagle", target_model_path, depth))) % (2 ** 31)
+            e_params = init_eagle_params(e_cfg, jax.random.key(seed))
+            if steps > 0:
+                from specdec_tpu.engine.eagle_train import train_eagle
+                e_params, acc = train_eagle(
+                    t_cfg, target["params"], e_cfg, e_params, steps=steps,
+                    batch_size=int(os.getenv("EAGLE_TRAIN_BATCH", "8")),
+                    seq_len=int(os.getenv("EAGLE_TRAIN_SEQ", "128")),
+                    key=jax.random.key(seed + 1))
+                print(f"eagle drafter trained {steps} steps: "
+                      f"teacher-forced acceptance proxy {acc:.3f}")
+                save_dir = os.getenv("EAGLE_SAVE", "")
+                if save_dir:
+                    from specdec_tpu.engine.checkpoint import save_params
+                    print(f"eagle drafter saved to "
+                          f"{save_params(save_dir, e_params, overwrite=True)}")
+            drafter = {"cfg": e_cfg, "params": e_params, "eagle": True}
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec

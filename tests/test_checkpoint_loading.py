@@ -129,3 +129,62 @@ def test_damped_layerskip_preset_accepts():
         logits_processor=MultinomialProcessor(1.0), key=jax.random.key(1))
     assert len(out) == 32
     assert rate > 0.3, rate
+
+
+def test_trained_drafter_checkpoint_roundtrip(tmp_path):
+    """save_params/load_params must round-trip a trained EAGLE head exactly
+    (dtypes included), and eagle:<dir> must load it through load_models."""
+    from specdec_tpu.core.config import tiny_config
+    from specdec_tpu.core.eagle import init_eagle_params
+    from specdec_tpu.core.model import init_params
+    from specdec_tpu.engine.checkpoint import load_params, save_params
+    from specdec_tpu.engine.eagle_train import train_eagle
+
+    cfg = tiny_config(vocab_size=32, num_layers=3, hidden_size=32,
+                      intermediate_size=64, num_heads=4, num_kv_heads=2,
+                      head_dim=8)
+    ecfg = cfg.replace(num_layers=1)
+    target = init_params(cfg, jax.random.key(0), scale=0.4)
+    eagle = init_eagle_params(ecfg, jax.random.key(1))
+    trained, _ = train_eagle(cfg, target, ecfg, eagle, steps=5, batch_size=2,
+                             seq_len=16, key=jax.random.key(2))
+
+    path = save_params(str(tmp_path / "eagle_head"), trained)
+    back = load_params(path)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(trained),
+            jax.tree_util.tree_leaves_with_path(back)):
+        assert ka == kb
+        assert a.dtype == b.dtype
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    with pytest.raises(FileNotFoundError):
+        load_params(str(tmp_path / "missing"))
+
+
+def test_eagle_checkpoint_loader_spec(tmp_path, monkeypatch):
+    """DRAFTER_MODEL=eagle:<dir> restores a saved head (depth inferred from
+    the stacked layer axis) and generation runs through it."""
+    from specdec_tpu.engine.model_loader import load_models
+    from specdec_tpu.sampling.eagle_speculative import eagle_generate
+
+    # train-and-save via the loader's own path (EAGLE_SAVE)
+    save_dir = str(tmp_path / "head")
+    monkeypatch.setenv("EAGLE_SAVE", save_dir)
+    monkeypatch.setenv("EAGLE_TRAIN_BATCH", "2")
+    monkeypatch.setenv("EAGLE_TRAIN_SEQ", "16")
+    b1 = load_models("synthetic:tiny", "eagle:1@3")
+    monkeypatch.delenv("EAGLE_SAVE")
+
+    b2 = load_models("synthetic:tiny", f"eagle:{save_dir}")
+    assert b2["drafter"]["eagle"]
+    assert b2["drafter"]["cfg"].num_layers == 1
+    for a, b in zip(jax.tree.leaves(b1["drafter"]["params"]),
+                    jax.tree.leaves(b2["drafter"]["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    out, rate = eagle_generate(
+        [5, 9, 33, 2], b2["drafter"]["cfg"], b2["drafter"]["params"],
+        b2["target"]["cfg"], b2["target"]["params"], gamma=3, max_gen_len=8,
+        eos_tokens_id=(), key=jax.random.key(3))
+    assert len(out) == 8

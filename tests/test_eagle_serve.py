@@ -121,3 +121,17 @@ def test_eagle_serving_eos_frees_slot(models):
     done = cb.run()
     assert done[r1].output_ids == probe[:probe.index(eos) + 1]
     assert len(done) == 2 and done[r2].output_ids is not None
+
+
+def test_eagle_serving_streams(models):
+    """stream_generate over the EAGLE batcher: concatenated yields equal the
+    completed request's output_ids."""
+    from specdec_tpu.serve.streaming import stream_generate
+    target, _, trained = models
+    cb = EagleContinuousBatcher(ECFG, trained, CFG, target, num_slots=1,
+                                gamma=3, max_prompt_len=64, max_new_tokens=10,
+                                eos_tokens_id=(), key=jax.random.key(4))
+    chunks = list(stream_generate(cb, PROMPTS[0]))
+    out = sum(chunks, [])
+    assert len(out) == 10
+    assert out == cb.completed[0].output_ids

@@ -116,3 +116,14 @@ def test_nasd_serving_eos_frees_slot():
     done = cb.run()
     assert done[r1].output_ids == expect
     assert len(done) == 2 and done[r2].output_ids is not None
+
+
+def test_nasd_serving_streams():
+    """stream_generate is batcher-agnostic: over the NASD batcher the
+    concatenated yields equal the request's output (== greedy AR)."""
+    from specdec_tpu.serve.streaming import stream_generate
+    cb = NasdContinuousBatcher(CFG, TARGET, num_slots=1, gamma=3, n=3,
+                               capacity=256, max_prompt_len=64,
+                               max_new_tokens=10, eos_tokens_id=())
+    chunks = list(stream_generate(cb, PROMPTS[0]))
+    assert sum(chunks, []) == _expected(PROMPTS[0])
