@@ -26,7 +26,7 @@ engine/eagle_train.py; the generation loop in sampling/eagle_speculative.py.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -64,6 +64,45 @@ def init_eagle_params(cfg: ModelConfig, key: jax.Array,
     }
 
 
+def _eagle_common(cfg: ModelConfig, eagle_params: Params,
+                  target_params: Params, tokens: jax.Array,
+                  feats: jax.Array, cache: KVCache, q_pos: jax.Array,
+                  tree) -> Tuple[jax.Array, jax.Array, KVCache]:
+    """Shared drafter body for the sequential and tree forwards (ONE
+    implementation — any fc/head/norm change must hit both paths, mirroring
+    core.model._forward_common): fc fusion over (embed, feature) pairs, the
+    block-stack scan, and the target's final-norm + head."""
+    T = tokens.shape[1]
+    offsets = cache.length
+    cos, sin = rope_cos_sin(q_pos, cfg.rotary_dim, cfg.rope_theta)
+
+    emb = target_params["embed"][tokens].astype(cfg.dtype)
+    x = jnp.concatenate([emb, feats.astype(cfg.dtype)], axis=-1)
+    x = _mm(x, eagle_params["fc_w"]) + eagle_params["fc_b"]
+
+    def body(carry, scanned):
+        h = carry
+        lp, lk, lv = scanned
+        h, lk, lv = _block(cfg, lp, h, cos, sin, q_pos, lk, lv, offsets,
+                           tree=tree)
+        return h, (lk, lv)
+
+    x, (new_k, new_v) = lax.scan(
+        body, x, (eagle_params["layers"], cache.k, cache.v))
+
+    f_hat = x
+    h = _norm(cfg, x, target_params["final_norm_w"],
+              target_params.get("final_norm_b"))
+    if cfg.tie_embeddings:
+        logits = jnp.einsum("btd,vd->btv", h, target_params["embed"],
+                            preferred_element_type=jnp.float32)
+    else:
+        logits = _mm(h, target_params["lm_head"]).astype(jnp.float32)
+    if cfg.logit_softcap > 0.0:
+        logits = jnp.tanh(logits / cfg.logit_softcap) * cfg.logit_softcap
+    return logits, f_hat, KVCache(k=new_k, v=new_v, length=cache.length + T)
+
+
 def eagle_forward(cfg: ModelConfig, eagle_params: Params,
                   target_params: Params, tokens: jax.Array,
                   feats: jax.Array, cache: KVCache,
@@ -80,32 +119,26 @@ def eagle_forward(cfg: ModelConfig, eagle_params: Params,
     depth). Returns (logits [B, T, V] f32, f_hat [B, T, D], advanced cache).
     """
     B, T = tokens.shape
-    offsets = cache.length
-    q_pos = offsets[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
-    cos, sin = rope_cos_sin(q_pos, cfg.rotary_dim, cfg.rope_theta)
+    q_pos = cache.length[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+    return _eagle_common(cfg, eagle_params, target_params, tokens, feats,
+                         cache, q_pos, tree=None)
 
-    emb = target_params["embed"][tokens].astype(cfg.dtype)
-    x = jnp.concatenate([emb, feats.astype(cfg.dtype)], axis=-1)
-    x = _mm(x, eagle_params["fc_w"]) + eagle_params["fc_b"]
 
-    def body(carry, scanned):
-        h = carry
-        lp, lk, lv = scanned
-        h, lk, lv = _block(cfg, lp, h, cos, sin, q_pos, lk, lv, offsets)
-        return h, (lk, lv)
-
-    x, (new_k, new_v) = lax.scan(
-        body, x, (eagle_params["layers"], cache.k, cache.v))
-
-    f_hat = x
-    h = _norm(cfg, x, target_params["final_norm_w"],
-              target_params.get("final_norm_b"))
-    if cfg.tie_embeddings:
-        logits = jnp.einsum("btd,vd->btv", h, target_params["embed"],
-                            preferred_element_type=jnp.float32)
-    else:
-        logits = _mm(h, target_params["lm_head"]).astype(jnp.float32)
-    if cfg.logit_softcap > 0.0:
-        logits = jnp.tanh(logits / cfg.logit_softcap) * cfg.logit_softcap
-    new_cache = KVCache(k=new_k, v=new_v, length=cache.length + T)
-    return logits, f_hat, new_cache
+def eagle_forward_tree(cfg: ModelConfig, eagle_params: Params,
+                       target_params: Params, tokens: jax.Array,
+                       feats: jax.Array, cache: KVCache,
+                       depths: jax.Array, tree_mask: jax.Array,
+                       tree_start: Optional[jax.Array] = None,
+                       ) -> Tuple[jax.Array, jax.Array, KVCache]:
+    """Tree-structured drafter forward: the N (token, parent-feature) pairs
+    are TREE nodes, not a sequence (sampling/eagle_tree.py expands level by
+    level). Rope position of node j is ``tree_start + depths[j]`` and it
+    attends to the drafter-cache prefix (which ends with the committed
+    root pair) plus its tree ANCESTORS only — the same ancestor-mask
+    contract as core.model.forward_step_tree. Returns
+    (logits [B, N, V] f32, f_hat [B, N, D], cache advanced by N)."""
+    if tree_start is None:
+        tree_start = cache.length
+    q_pos = tree_start[:, None] + depths[None, :].astype(jnp.int32)
+    return _eagle_common(cfg, eagle_params, target_params, tokens, feats,
+                         cache, q_pos, tree=(tree_start, tree_mask))

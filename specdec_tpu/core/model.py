@@ -299,6 +299,22 @@ def forward_step_tree(cfg: ModelConfig, params: Params, tokens: jax.Array,
     return logits, cache
 
 
+def forward_step_tree_features(cfg: ModelConfig, params: Params,
+                               tokens: jax.Array, cache: KVCache,
+                               depths: jax.Array, tree_mask: jax.Array,
+                               tree_start: Optional[jax.Array] = None,
+                               ) -> Tuple[jax.Array, jax.Array, KVCache]:
+    """``forward_step_tree`` that also returns the pre-final-norm residual
+    stream per tree node ([B, N, D]) — the features EAGLE tree drafting
+    writes back along the accepted path (sampling/eagle_tree.py). Same cache
+    semantics as ``forward_step_tree``."""
+    if tree_start is None:
+        tree_start = cache.length
+    q_pos = tree_start[:, None] + depths[None, :].astype(jnp.int32)
+    return _forward_common(cfg, params, tokens, cache, q_pos,
+                           tree=(tree_start, tree_mask))
+
+
 def forward_full(cfg: ModelConfig, params: Params, tokens: jax.Array) -> jax.Array:
     """Causal full-sequence forward (no persistent cache); logits [B, T, V] f32."""
     B, T = tokens.shape

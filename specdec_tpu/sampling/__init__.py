@@ -12,3 +12,4 @@ from specdec_tpu.sampling.tree_speculative import (
     tree_speculative_generate,
 )
 from specdec_tpu.sampling.eagle_speculative import eagle_generate
+from specdec_tpu.sampling.eagle_tree import eagle_tree_generate
