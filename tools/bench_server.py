@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--slots", type=int, default=8)
     ap.add_argument("--quant", default="int8")
     ap.add_argument("--model", default="1b", choices=("1b", "8b"))
+    ap.add_argument("--drafter", default="model",
+                    help="model (LayerSkip pair, default) | nasd "
+                         "(device n-gram table) | eagle[:depth@steps] "
+                         "(feature head, on-policy trained at startup)")
     args = ap.parse_args()
     rates = [float(r) for r in args.rates.split(",")]
     log(f"backend={jax.default_backend()} rates={rates} model={args.model}")
@@ -52,11 +56,41 @@ def main():
                                              size=int(n))]
                for n in rng.integers(30, 200, size=args.n)]
 
-    def fresh_batcher():
-        return ContinuousBatcher(d_cfg, drafter, t_cfg, target,
-                                 num_slots=args.slots, gamma=args.gamma,
-                                 max_new_tokens=args.gen,
-                                 windows_per_sync=8, eos_tokens_id=())
+    if args.drafter == "nasd":
+        from specdec_tpu.serve import NasdContinuousBatcher
+
+        def fresh_batcher():
+            return NasdContinuousBatcher(
+                t_cfg, target, num_slots=args.slots, gamma=args.gamma,
+                max_new_tokens=args.gen, windows_per_sync=8,
+                eos_tokens_id=())
+    elif args.drafter.startswith("eagle"):
+        from specdec_tpu.core.eagle import init_eagle_params
+        from specdec_tpu.engine.eagle_train import train_eagle
+        from specdec_tpu.serve import EagleContinuousBatcher
+
+        spec = args.drafter.split(":", 1)[1] if ":" in args.drafter else "1@300"
+        depth, _, steps = spec.partition("@")
+        e_cfg = t_cfg.replace(num_layers=int(depth))
+        ep = init_eagle_params(e_cfg, jax.random.key(7))
+        if int(steps or 0) > 0:
+            t0 = time.time()
+            ep, acc = train_eagle(t_cfg, target, e_cfg, ep,
+                                  steps=int(steps), key=jax.random.key(8))
+            log(f"eagle head trained {steps} steps in {time.time() - t0:.0f}s"
+                f" (proxy acceptance {acc:.3f})")
+
+        def fresh_batcher():
+            return EagleContinuousBatcher(
+                e_cfg, ep, t_cfg, target, num_slots=args.slots,
+                gamma=args.gamma, max_new_tokens=args.gen,
+                windows_per_sync=8, eos_tokens_id=())
+    else:
+        def fresh_batcher():
+            return ContinuousBatcher(d_cfg, drafter, t_cfg, target,
+                                     num_slots=args.slots, gamma=args.gamma,
+                                     max_new_tokens=args.gen,
+                                     windows_per_sync=8, eos_tokens_id=())
 
     # warm pass (compiles)
     log("warming (compiles)...")
