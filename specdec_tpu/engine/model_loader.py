@@ -100,7 +100,11 @@ def _synthetic(name: str, dtype, quantization: str = "none") -> Dict[str, Any]:
         raise ValueError(f"unknown synthetic preset {base!r}; "
                          f"choose from {sorted(SYNTHETIC_PRESETS)}")
     cfg = ModelConfig(dtype=dtype, **SYNTHETIC_PRESETS[base])
-    seed = abs(hash(base)) % (2 ** 31)
+    # zlib.crc32, not hash(): str hash is randomized per process
+    # (PYTHONHASHSEED), which would give every run a DIFFERENT random model —
+    # irreproducible benchmarks and heisenbug oracles
+    import zlib
+    seed = zlib.crc32(base.encode()) % (2 ** 31)
     if damp_from is not None:
         if not 0 < damp_from < cfg.num_layers:
             raise ValueError(
@@ -253,7 +257,9 @@ def load_models(
             assert 0 < depth < t_cfg.num_layers, \
                 f"eagle:{depth} needs 1..{t_cfg.num_layers - 1} layers"
             e_cfg = t_cfg.replace(num_layers=depth)
-            seed = abs(hash(("eagle", target_model_path, depth))) % (2 ** 31)
+            import zlib
+            seed = zlib.crc32(
+                f"eagle:{target_model_path}:{depth}".encode()) % (2 ** 31)
             e_params = init_eagle_params(e_cfg, jax.random.key(seed))
             if steps > 0:
                 from specdec_tpu.engine.eagle_train import train_eagle

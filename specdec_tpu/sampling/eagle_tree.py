@@ -23,8 +23,11 @@ Structure per window (ONE jitted ``lax.while_loop`` overall):
   is EXACTLY greedy AR for any drafter/topology, the tree_speculative.py
   oracle); accepted-path features written to fbuf, target KV compacted.
 
-GREEDY-EXACT only, like tree_speculative.py; the chain EAGLE loop is the
-distribution-preserving sampled path.
+Like tree_speculative.py, the processor selects the acceptance regime:
+GreedyProcessor/None is greedy-exact (output == greedy AR); any sampling
+processor runs SpecInfer multi-draft rejection over eagle-drafted children
+(shared implementation: tree_speculative._sampled_tree_accept), emitting a
+stream distributed exactly as target AR sampling.
 """
 from __future__ import annotations
 
@@ -43,21 +46,26 @@ from specdec_tpu.core.model import (
     forward_step_features, forward_step_tree_features,
 )
 from specdec_tpu.sampling.processors import GreedyProcessor
-from specdec_tpu.sampling.tree_speculative import _topology
+from specdec_tpu.sampling.tree_speculative import (
+    _greedy_tree_accept, _sampled_tree_accept, _topology,
+)
 from specdec_tpu.sampling.utils import eos_mask, normalize_eos, pad_to_bucket
 
 
 @partial(jax.jit, static_argnames=("eagle_cfg", "target_cfg", "topo",
-                                   "gen_len", "eos_ids"))
+                                   "gen_len", "eos_ids", "processor"))
 def _eagle_tree_generate(
     eagle_cfg: ModelConfig, eagle_params,
     target_cfg: ModelConfig, target_params,
     prompt: jax.Array, prompt_len: jax.Array,
     topo, gen_len: int,
     eos_ids: Tuple[int, ...],
+    processor=None,                      # None => greedy-exact mode
+    key: Optional[jax.Array] = None,
 ):
     d = topo.depth
     N = topo.num_nodes
+    V = target_cfg.vocab_size
     P = prompt.shape[0]
     D = target_cfg.hidden_size
     S = P + gen_len + N + 2
@@ -107,8 +115,11 @@ def _eagle_tree_generate(
         f_root = fhat_blk[0, idx]                            # [D]
         e_cache = e_cache.with_length((pos - 1)[None].astype(jnp.int32))
 
+        wkey = (jax.random.fold_in(key, window) if processor is not None
+                else None)
         root = lax.dynamic_index_in_dim(buf, pos - 1, 0, keepdims=False)
         tree_toks = jnp.zeros((N,), jnp.int32).at[0].set(root)
+        q_nodes = jnp.zeros((N, V), jnp.float32)
         # f_hat per node: node 0 = root's predicted feature from catch-up
         tree_fhat = jnp.zeros((N, D), fbuf.dtype).at[0].set(
             f_root.astype(fbuf.dtype))
@@ -116,8 +127,15 @@ def _eagle_tree_generate(
         # level 1 straight from the catch-up logits
         b1 = topo.branching[0]
         l1 = topo.level_nodes(1)
-        top1 = lax.top_k(root_logits, b1)[1].astype(jnp.int32)
-        tree_toks = tree_toks.at[l1].set(top1)
+        if processor is None:
+            top1 = lax.top_k(root_logits, b1)[1].astype(jnp.int32)
+            tree_toks = tree_toks.at[l1].set(top1)
+        else:
+            q0 = processor(root_logits)
+            q_nodes = q_nodes.at[0].set(q0)
+            keys1 = jax.random.split(jax.random.fold_in(wkey, 0), b1)
+            kids1 = jax.vmap(lambda kk: processor.sample(q0, kk))(keys1)
+            tree_toks = tree_toks.at[l1].set(kids1.astype(jnp.int32))
 
         # --- levels 2..d: eagle tree forwards over the PREVIOUS level ----
         # (expanding level l+1 needs level l's f_hat; the last level's
@@ -137,35 +155,36 @@ def _eagle_tree_generate(
                 e_cache, depths[ls] - 1, mask_l, tree_start=e_start)
             tree_fhat = tree_fhat.at[ls].set(fhat_l[0].astype(fbuf.dtype))
             b = topo.branching[l]
-            top = lax.top_k(logits_l[0], b)[1].astype(jnp.int32)
             cs = topo.level_nodes(l + 1)
-            tree_toks = tree_toks.at[cs].set(top.reshape(-1))
+            if processor is None:
+                top = lax.top_k(logits_l[0], b)[1].astype(jnp.int32)
+                tree_toks = tree_toks.at[cs].set(top.reshape(-1))
+            else:
+                q_l = processor(logits_l[0])                 # [n_l, V]
+                q_nodes = q_nodes.at[ls].set(q_l)
+                n_l = topo.level_sizes[l]
+                keys = jax.random.split(
+                    jax.random.fold_in(wkey, l), n_l * b).reshape(n_l, b)
+                kids = jax.vmap(lambda qi, ks: jax.vmap(
+                    lambda kk: processor.sample(qi, kk))(ks))(q_l, keys)
+                tree_toks = tree_toks.at[cs].set(
+                    kids.reshape(-1).astype(jnp.int32))
 
         # --- target verify: whole tree, with features --------------------
         t_logits, t_feats, t_cache_l = forward_step_tree_features(
             target_cfg, target_params, tree_toks[None, :], t_cache,
             depths, anc)
-        targmax = jnp.argmax(t_logits[0], axis=-1).astype(jnp.int32)  # [N]
 
-        # --- greedy path acceptance (tree_speculative.py:171-191) --------
-        cur = jnp.int32(0)
-        alive = jnp.asarray(True)
-        chain = jnp.zeros((d,), jnp.int32)
-        n_acc = jnp.int32(0)
-        for l in range(d):
-            b = topo.branching[l]
-            ps, cs = topo.level_start[l], topo.level_start[l + 1]
-            first_child = cs + (cur - ps) * b
-            child_idx = first_child + jnp.arange(b)
-            child_toks = tree_toks[child_idx]
-            match = child_toks == targmax[cur]
-            hit = jnp.any(match)
-            nxt = child_idx[jnp.argmax(match)]
-            alive = alive & hit
-            cur = jnp.where(alive, nxt, cur)
-            chain = chain.at[l].set(cur)
-            n_acc = n_acc + alive.astype(jnp.int32)
-        bonus = targmax[cur]
+        # --- path acceptance (shared with tree_speculative.py) -----------
+        if processor is None:
+            targmax = jnp.argmax(t_logits[0], axis=-1).astype(jnp.int32)
+            chain, n_acc, bonus = _greedy_tree_accept(topo, tree_toks,
+                                                      targmax)
+        else:
+            p_nodes = processor(t_logits[0])
+            chain, n_acc, bonus = _sampled_tree_accept(
+                topo, tree_toks, q_nodes, p_nodes, processor,
+                jax.random.fold_in(wkey, 2 ** 20))
 
         # --- commit tokens ------------------------------------------------
         li = jnp.arange(d + 1)
@@ -234,15 +253,15 @@ def eagle_tree_generate(
     pad_token_id: int = 0,
     key: Optional[jax.Array] = None,
 ) -> Tuple[List[int], float]:
-    """Greedy EAGLE tree speculation. Returns (generated ids, chain-depth
-    acceptance rate). Output is token-identical to greedy AR for any
-    drafter/topology (the tree_speculative.py oracle)."""
-    if logits_processor is not None and \
-            not isinstance(logits_processor, GreedyProcessor):
-        raise NotImplementedError(
-            "eagle tree speculation is greedy-exact only; use the chain "
-            "path (eagle_generate) for sampled decoding")
-    del key  # greedy tree acceptance uses no randomness
+    """EAGLE tree speculation. Returns (generated ids, chain-depth
+    acceptance rate). GreedyProcessor/None: greedy-exact mode (output is
+    token-identical to greedy AR for any drafter/topology); any sampling
+    processor: SpecInfer multi-draft rejection (output distributed exactly
+    as target AR sampling). See the module docstring."""
+    sampled = (logits_processor is not None
+               and not isinstance(logits_processor, GreedyProcessor))
+    processor = logits_processor if sampled else None
+    key = key if key is not None else jax.random.key(0)
     eos_ids = normalize_eos(eos_tokens_id)
     prompt, n = pad_to_bucket(inputs, pad_token_id)
     if n < 2:
@@ -252,7 +271,8 @@ def eagle_tree_generate(
 
     packed = _eagle_tree_generate(
         eagle_cfg, eagle_params, target_cfg, target_params,
-        prompt, jnp.int32(n), topo, int(max_gen_len), eos_ids)
+        prompt, jnp.int32(n), topo, int(max_gen_len), eos_ids,
+        processor=processor, key=key)
 
     packed = np.asarray(packed)   # ONE pull
     n_gen, acc, spec, _ = (int(v) for v in packed[-4:])

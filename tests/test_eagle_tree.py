@@ -88,9 +88,53 @@ def test_eagle_tree_eos_truncation(models):
     assert out == full[:first + 1]
 
 
-def test_eagle_tree_rejects_sampled_processor(models):
+def test_eagle_tree_sampled_deterministic(models):
+    """Multi-draft rejection over eagle-drafted children: deterministic per
+    key, full length, sane acceptance."""
     target, _, trained = models
-    with pytest.raises(NotImplementedError):
-        eagle_tree_generate(PROMPT, ECFG, trained, CFG, target,
-                            branching=(2, 2), max_gen_len=8,
-                            logits_processor=MultinomialProcessor(1.0))
+    proc = MultinomialProcessor(temperature=1.0)
+    out1, rate = eagle_tree_generate(PROMPT, ECFG, trained, CFG, target,
+                                     branching=(2, 2), max_gen_len=20,
+                                     logits_processor=proc, eos_tokens_id=(),
+                                     key=jax.random.key(5))
+    out2, _ = eagle_tree_generate(PROMPT, ECFG, trained, CFG, target,
+                                  branching=(2, 2), max_gen_len=20,
+                                  logits_processor=proc, eos_tokens_id=(),
+                                  key=jax.random.key(5))
+    assert out1 == out2
+    assert len(out1) == 20
+    assert all(0 <= t < VOCAB for t in out1)
+    assert 0.0 <= rate <= 1.0
+
+
+def test_eagle_tree_sampled_distribution_preserved(models):
+    """First emitted token through the sampled eagle tree must follow the
+    target's processed distribution (SpecInfer theorem; same TV oracle as
+    the chain and model-drafter tree paths)."""
+    import jax.numpy as jnp
+    from specdec_tpu.core.model import forward_full
+    from specdec_tpu.sampling.eagle_tree import _eagle_tree_generate
+    from specdec_tpu.sampling.tree_speculative import _topology
+    from specdec_tpu.sampling.utils import pad_to_bucket
+
+    target, eagle, _ = models
+    proc = MultinomialProcessor(temperature=1.0)
+    prompt, n = pad_to_bucket(PROMPT, 0)
+    topo = _topology((2, 2))
+
+    n_runs = 2500
+    keys = jax.random.split(jax.random.key(42), n_runs)
+
+    def one(key):
+        packed = _eagle_tree_generate(
+            ECFG, eagle, CFG, target, prompt, jnp.int32(n), topo, 1, (),
+            processor=proc, key=key)
+        return packed[n]
+
+    tokens = np.asarray(jax.vmap(one)(keys))
+    counts = np.bincount(tokens, minlength=VOCAB) / n_runs
+
+    logits = forward_full(CFG, target, jnp.asarray(PROMPT)[None, :])
+    want = np.asarray(proc(logits[0, -1]))
+    tv = 0.5 * np.abs(counts - want).sum()
+    assert tv < 0.06, f"TV distance {tv:.4f}"

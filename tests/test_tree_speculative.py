@@ -70,11 +70,67 @@ def test_tree_eos_truncation():
     assert out == ar_stop
 
 
-def test_tree_rejects_sampled_processor():
-    with pytest.raises(NotImplementedError):
-        tree_speculative_generate(
-            PROMPT, CFG, DRAFTER, CFG, TARGET,
-            logits_processor=MultinomialProcessor(1.0))
+def test_sampled_tree_deterministic_full_length():
+    """Multi-draft rejection mode: deterministic per key, full length,
+    in-vocab, sane acceptance."""
+    proc = MultinomialProcessor(temperature=1.0)
+    out1, rate = tree_speculative_generate(
+        PROMPT, CFG, DRAFTER, CFG, TARGET, branching=(2, 2),
+        logits_processor=proc, max_gen_len=24, eos_tokens_id=(),
+        key=jax.random.key(5))
+    out2, _ = tree_speculative_generate(
+        PROMPT, CFG, DRAFTER, CFG, TARGET, branching=(2, 2),
+        logits_processor=proc, max_gen_len=24, eos_tokens_id=(),
+        key=jax.random.key(5))
+    assert out1 == out2
+    assert len(out1) == 24
+    assert all(0 <= t < 64 for t in out1)
+    assert 0.0 <= rate <= 1.0
+
+
+def test_sampled_tree_self_draft_accepts_everything():
+    """Self-draft: children are IID from q == p, so the FIRST child of every
+    node is accepted with probability min(1, p/q) = 1 — the multi-draft
+    analog of the chain path's self-draft invariant."""
+    proc = MultinomialProcessor(temperature=1.0)
+    out, rate = tree_speculative_generate(
+        PROMPT, CFG, TARGET, CFG, TARGET, branching=(2, 2, 2),
+        logits_processor=proc, max_gen_len=24, eos_tokens_id=(),
+        key=jax.random.key(6))
+    assert rate == 1.0
+    assert len(out) == 24
+
+
+def test_sampled_tree_output_distribution_preserved():
+    """First emitted token through the multi-draft rejection path must be
+    distributed as the target's processed distribution (the SpecInfer
+    theorem; same TV oracle as the chain path's test_speculative.py)."""
+    from specdec_tpu.core.model import forward_full
+    from specdec_tpu.sampling.tree_speculative import (
+        _topology, _tree_spec_generate,
+    )
+    from specdec_tpu.sampling.utils import pad_to_bucket
+
+    proc = MultinomialProcessor(temperature=1.0)
+    prompt, n = pad_to_bucket(PROMPT, 0)
+    topo = _topology((2, 2))
+
+    n_runs = 2500
+    keys = jax.random.split(jax.random.key(42), n_runs)
+
+    def one(key):
+        packed = _tree_spec_generate(
+            CFG, DRAFTER, CFG, TARGET, prompt, jnp.int32(n), topo, 1, (),
+            processor=proc, key=key)
+        return packed[n]
+
+    tokens = np.asarray(jax.vmap(one)(keys))
+    counts = np.bincount(tokens, minlength=64) / n_runs
+
+    logits = forward_full(CFG, TARGET, jnp.asarray(PROMPT)[None, :])
+    want = np.asarray(proc(logits[0, -1]))
+    tv = 0.5 * np.abs(counts - want).sum()
+    assert tv < 0.06, f"TV distance {tv:.4f}"
 
 
 def test_tree_beats_or_matches_chain_depth():
