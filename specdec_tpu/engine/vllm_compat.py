@@ -130,9 +130,7 @@ class VLLMEngineManager:
         self.tokenizer = bundle["tokenizer"]
         self._end_tokens = bundle["end_tokens"]
         drafter = bundle["drafter"] or bundle["target"]  # self-draft fallback
-        self.batcher = ContinuousBatcher(
-            drafter["cfg"], drafter["params"],
-            bundle["target"]["cfg"], bundle["target"]["params"],
+        common = dict(
             num_slots=num_slots or min(self.config.max_num_seqs, 8),
             gamma=gamma,
             max_prompt_len=min(self.config.max_model_len, 2048),
@@ -143,6 +141,21 @@ class VLLMEngineManager:
                             or int(os.getenv("MAX_TOKENS", "256"))),
             eos_tokens_id=self._end_tokens,
             pad_token_id=bundle["pad_token_id"])
+        if (bundle["drafter"] or {}).get("eagle"):
+            # speculative_config.model was an eagle:<...> spec — the head
+            # params are not a standalone model; use the EAGLE batcher
+            from specdec_tpu.serve.eagle_scheduler import (
+                EagleContinuousBatcher,
+            )
+            self.batcher = EagleContinuousBatcher(
+                drafter["cfg"], drafter["params"],
+                bundle["target"]["cfg"], bundle["target"]["params"],
+                **common)
+        else:
+            self.batcher = ContinuousBatcher(
+                drafter["cfg"], drafter["params"],
+                bundle["target"]["cfg"], bundle["target"]["params"],
+                **common)
         return True
 
     def generate(self, prompt: str, max_tokens: int = 100) -> str:

@@ -308,3 +308,21 @@ def test_benchmark_runner_eagle_drafter(bench_env, monkeypatch):
     res = runner.spec_results
     assert res.total_requests == 2
     assert res.total_tokens > 0
+
+
+def test_vllm_compat_eagle_drafter(monkeypatch):
+    """speculative_config.model = eagle:<spec> routes the manager onto the
+    EAGLE batcher (an eagle head is not a standalone drafter model)."""
+    from specdec_tpu.engine.vllm_compat import VLLMConfig, VLLMEngineManager
+    from specdec_tpu.serve.eagle_scheduler import EagleContinuousBatcher
+
+    monkeypatch.setenv("EAGLE_TRAIN_BATCH", "2")
+    monkeypatch.setenv("EAGLE_TRAIN_SEQ", "16")
+    cfg = VLLMConfig(model="synthetic:tiny", dtype="float32",
+                     speculative_config={"model": "eagle:1@2",
+                                         "num_speculative_tokens": 3})
+    mgr = VLLMEngineManager(cfg)
+    mgr.initialize(num_slots=1, max_new_tokens=8)
+    assert isinstance(mgr.batcher, EagleContinuousBatcher)
+    out = mgr.generate("hello", max_tokens=8)
+    assert isinstance(out, str) and len(out) > 0
