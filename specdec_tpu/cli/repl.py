@@ -97,25 +97,18 @@ class InferenceCLI:
             t0 = time.time()
             if self.eagle_drafter:
                 from specdec_tpu.sampling.eagle_speculative import (
-                    eagle_generate,
+                    eagle_generate as spec_fn,
                 )
-                out, rate = eagle_generate(
-                    ids, self.drafter_cfg, self.drafter_params,
-                    self.target_cfg, self.target_params,
-                    tokenizer=self.tokenizer, gamma=self.gamma,
-                    logits_processor=self.processor,
-                    max_gen_len=self.gen_len, eos_tokens_id=self.end_tokens,
-                    pad_token_id=self.pad_token_id, key=key,
-                    debug=self.debug)
             else:
-                out, rate = speculative_generate(
-                    ids, self.drafter_cfg, self.drafter_params,
-                    self.target_cfg, self.target_params,
-                    tokenizer=self.tokenizer, gamma=self.gamma,
-                    logits_processor=self.processor,
-                    max_gen_len=self.gen_len, eos_tokens_id=self.end_tokens,
-                    pad_token_id=self.pad_token_id, key=key,
-                    debug=self.debug)
+                spec_fn = speculative_generate  # same signature by design
+            out, rate = spec_fn(
+                ids, self.drafter_cfg, self.drafter_params,
+                self.target_cfg, self.target_params,
+                tokenizer=self.tokenizer, gamma=self.gamma,
+                logits_processor=self.processor,
+                max_gen_len=self.gen_len, eos_tokens_id=self.end_tokens,
+                pad_token_id=self.pad_token_id, key=key,
+                debug=self.debug)
             dt = time.time() - t0
             results["speculative"] = (out, dt)
             print(f"[speculative]  ({dt:.2f}s, accept {rate:.3f}) "

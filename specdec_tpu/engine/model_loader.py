@@ -254,8 +254,9 @@ def load_models(
         else:
             depth, _, steps = spec.partition("@")
             depth, steps = int(depth), int(steps or 0)
-            assert 0 < depth < t_cfg.num_layers, \
-                f"eagle:{depth} needs 1..{t_cfg.num_layers - 1} layers"
+            if not 0 < depth < t_cfg.num_layers:
+                raise ValueError(
+                    f"eagle:{depth} needs 1..{t_cfg.num_layers - 1} layers")
             e_cfg = t_cfg.replace(num_layers=depth)
             import zlib
             seed = zlib.crc32(

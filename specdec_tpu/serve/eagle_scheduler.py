@@ -9,10 +9,12 @@ features (forward_step_features) and installs the feature-buffer row
 alongside buffer/caches, because drafting needs the committed positions'
 residual-stream features.
 
-The eagle KV cache needs NO row install at admission: every window's
-catch-up rewrite re-derives the drafter state for the last gamma+1 pairs
-from the feature buffer (the same property that makes speculative rollback
-pure length arithmetic).
+The eagle KV cache gets its slot rows ZEROED (not prefilled) at admission:
+every window's catch-up rewrite re-derives the drafter state for the last
+gamma+1 pairs from the feature buffer (the same property that makes
+speculative rollback pure length arithmetic), but rows below the catch-up
+start are positionally attended and never rewritten — on slot reuse they
+would otherwise leak the previous occupant's drafter K/V.
 
 Reference context: the reference has no EAGLE at all; this is the
 beyond-reference drafter family (docs/PARITY.md) made serving-capable.
@@ -20,9 +22,8 @@ beyond-reference drafter family (docs/PARITY.md) made serving-capable.
 from __future__ import annotations
 
 import dataclasses
-import time
 from functools import partial
-from typing import Dict, List, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -88,6 +89,18 @@ def _admit_eagle_slot(eagle_cfg: ModelConfig, eagle_params,
                                             axis=1)
     new_v = lax.dynamic_update_slice_in_dim(t_cache.v, t_cache1.v, slot,
                                             axis=1)
+    # The window catch-up only rewrites the last gamma+1 eagle rows; rows
+    # below its start are positionally admitted by attention but never
+    # rewritten on slot REUSE — zero them so the new request matches the
+    # one-shot engine path (eagle_batch_prefill starts from init_cache)
+    # instead of attending the previous occupant's drafter K/V.
+    e_cache = state.e_cache
+    ez_k = lax.dynamic_update_slice_in_dim(
+        e_cache.k, jnp.zeros_like(
+            lax.dynamic_slice_in_dim(e_cache.k, 0, 1, axis=1)), slot, axis=1)
+    ez_v = lax.dynamic_update_slice_in_dim(
+        e_cache.v, jnp.zeros_like(
+            lax.dynamic_slice_in_dim(e_cache.v, 0, 1, axis=1)), slot, axis=1)
 
     return dataclasses.replace(
         state,
@@ -99,7 +112,9 @@ def _admit_eagle_slot(eagle_cfg: ModelConfig, eagle_params,
         finished=put_row(state.finished, finished),
         t_cache=dataclasses.replace(t_cache, k=new_k, v=new_v,
                                     length=put_row(t_cache.length, pos - 1)),
-        # e_cache rows need no install: the window catch-up re-derives them
+        e_cache=dataclasses.replace(
+            e_cache, k=ez_k, v=ez_v,
+            length=put_row(e_cache.length, jnp.int32(0))),
         accepted=put_row(state.accepted, jnp.int32(0)),
         speculated=put_row(state.speculated, jnp.int32(0)),
     )
@@ -147,11 +162,7 @@ class EagleContinuousBatcher(ContinuousBatcher):
             accepted=jnp.zeros((self.B,), jnp.int32),
             speculated=jnp.zeros((self.B,), jnp.int32),
         )
-        self.queue: List[Request] = []
-        self.slot_req: List[Optional[Request]] = [None] * self.B
-        self._slot_first_token: List[Optional[float]] = [None] * self.B
-        self.completed: Dict[int, Request] = {}
-        self._next_id = 0
+        self._init_host_state()
 
     def _admit(self, slot: int, req: Request, sync: bool = True):
         P = self.max_prompt_len
@@ -169,21 +180,9 @@ class EagleContinuousBatcher(ContinuousBatcher):
         if sync:
             self._stamp_admissions([slot])
 
-    def _window_and_harvest(self):
+    def _window_step(self):
         self.state = eagle_batch_windows(
             self.eagle_cfg, self.eagle_params, self.target_cfg,
             self.target_params, self.state, self.gamma, self.processor,
             self.eos_ids, self.skip_sample_adjustment, self._next_key(),
             self.windows_per_sync)
-
-        now = time.time()
-        from specdec_tpu.engine.batch_engine import _pack_state, _unpack_state
-        buf, pos, plen, accepted, speculated, finished = _unpack_state(
-            np.asarray(_pack_state(self.state)))
-        for slot in range(self.B):
-            if self.slot_req[slot] is not None:
-                if self._slot_first_token[slot] is None:
-                    self._slot_first_token[slot] = now
-                if finished[slot]:
-                    self._harvest(slot, buf, pos, plen, accepted, speculated)
-        return True

@@ -26,9 +26,8 @@ oracle tests/test_nasd_serve.py holds against the single-sequence AR path.
 from __future__ import annotations
 
 import dataclasses
-import time
 from functools import partial
-from typing import Dict, List, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -141,8 +140,11 @@ class NasdContinuousBatcher(ContinuousBatcher):
 
         S = max_prompt_len + max_new_tokens + gamma + 2
         self.S = S
-        self.table = table if table is not None else init_device_table(
-            n, capacity)
+        # copy an injected table: admissions/windows DONATE self.table's
+        # buffers, which would invalidate the caller's reference (the
+        # carryover pattern hands the same learned table to several consumers)
+        self.table = (jax.tree.map(jnp.array, table) if table is not None
+                      else init_device_table(n, capacity))
         # empty state: all slots finished until admitted; pos=1 keeps the
         # window body's pos-1 reads in-bounds for never-admitted slots
         self.state = NasdState(
@@ -155,11 +157,7 @@ class NasdContinuousBatcher(ContinuousBatcher):
             accepted=jnp.zeros((self.B,), jnp.int32),
             speculated=jnp.zeros((self.B,), jnp.int32),
         )
-        self.queue: List[Request] = []
-        self.slot_req: List[Optional[Request]] = [None] * self.B
-        self._slot_first_token: List[Optional[float]] = [None] * self.B
-        self.completed: Dict[int, Request] = {}
-        self._next_id = 0
+        self._init_host_state()
 
     def _admit(self, slot: int, req: Request, sync: bool = True):
         P = self.max_prompt_len
@@ -177,20 +175,8 @@ class NasdContinuousBatcher(ContinuousBatcher):
         if sync:
             self._stamp_admissions([slot])
 
-    def _window_and_harvest(self):
+    def _window_step(self):
         self.state, self.table = nasd_spec_windows(
             self.target_cfg, self.target_params, self.state, self.table,
             self.gamma, self.processor, self.eos_ids, self.filler_top_k,
             self.stop_if_unknown, self._next_key(), self.windows_per_sync)
-
-        now = time.time()
-        from specdec_tpu.engine.batch_engine import _pack_state, _unpack_state
-        buf, pos, plen, accepted, speculated, finished = _unpack_state(
-            np.asarray(_pack_state(self.state)))
-        for slot in range(self.B):
-            if self.slot_req[slot] is not None:
-                if self._slot_first_token[slot] is None:
-                    self._slot_first_token[slot] = now
-                if finished[slot]:
-                    self._harvest(slot, buf, pos, plen, accepted, speculated)
-        return True

@@ -160,6 +160,11 @@ class ContinuousBatcher:
             accepted=jnp.zeros((self.B,), jnp.int32),
             speculated=jnp.zeros((self.B,), jnp.int32),
         )
+        self._init_host_state()
+
+    def _init_host_state(self):
+        """Queue/slot bookkeeping shared by every batcher flavor (the NASD
+        and EAGLE subclasses build their own device state but reuse this)."""
         self.queue: List[Request] = []
         self.slot_req: List[Optional[Request]] = [None] * self.B
         self._slot_first_token: List[Optional[float]] = [None] * self.B
@@ -244,7 +249,10 @@ class ContinuousBatcher:
             return False
         return self._window_and_harvest()
 
-    def _window_and_harvest(self):
+    def _window_step(self):
+        """Advance the device state by windows_per_sync speculative windows
+        (the ONLY piece each batcher flavor overrides — NASD/EAGLE subclasses
+        swap the window program, the harvest loop below is shared)."""
         if self.windows_per_sync > 1:
             from specdec_tpu.engine.batch_engine import batch_spec_windows
             self.state = batch_spec_windows(
@@ -257,6 +265,9 @@ class ContinuousBatcher:
                 self.drafter_cfg, self.drafter_params, self.target_cfg,
                 self.target_params, self.state, self.gamma, self.processor,
                 self.eos_ids, self.skip_sample_adjustment, self._next_key())
+
+    def _window_and_harvest(self):
+        self._window_step()
 
         now = time.time()
         from specdec_tpu.engine.batch_engine import _pack_state, _unpack_state

@@ -19,3 +19,28 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 assert jax.default_backend() == "cpu"
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def eagle_models():
+    """(CFG, ECFG, target, untrained head, trained head) shared by the EAGLE
+    test modules — the 200-step training run is the expensive part (three
+    modules used to train identical heads independently)."""
+    from specdec_tpu.core.config import tiny_config
+    from specdec_tpu.core.eagle import init_eagle_params
+    from specdec_tpu.core.model import init_params
+    from specdec_tpu.engine.eagle_train import train_eagle
+
+    cfg = tiny_config(vocab_size=32, num_layers=3, hidden_size=32,
+                      intermediate_size=64, num_heads=4, num_kv_heads=2,
+                      head_dim=8)
+    ecfg = cfg.replace(num_layers=1)
+    target = init_params(cfg, jax.random.key(0), scale=0.4)
+    eagle = init_eagle_params(ecfg, jax.random.key(1))
+    trained, _ = train_eagle(cfg, target, ecfg, eagle, steps=200,
+                             batch_size=8, seq_len=48, learning_rate=5e-3,
+                             cls_weight=1.0, key=jax.random.key(11))
+    return cfg, ecfg, target, eagle, trained

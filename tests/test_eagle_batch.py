@@ -29,12 +29,10 @@ PROMPTS = [
 
 
 @pytest.fixture(scope="module")
-def models():
-    target = init_params(CFG, jax.random.key(0), scale=0.4)
-    eagle = init_eagle_params(ECFG, jax.random.key(1))
-    trained, _ = train_eagle(CFG, target, ECFG, eagle, steps=200,
-                             batch_size=8, seq_len=48, learning_rate=5e-3,
-                             cls_weight=1.0, key=jax.random.key(11))
+def models(eagle_models):
+    # shared session-scoped fixture (conftest.py): the 200-step training run
+    # is paid once across the EAGLE test modules
+    _, _, target, eagle, trained = eagle_models
     return target, eagle, trained
 
 

@@ -31,12 +31,10 @@ PROMPTS = [
 
 
 @pytest.fixture(scope="module")
-def models():
-    target = init_params(CFG, jax.random.key(0), scale=0.4)
-    eagle = init_eagle_params(ECFG, jax.random.key(1))
-    trained, _ = train_eagle(CFG, target, ECFG, eagle, steps=200,
-                             batch_size=8, seq_len=48, learning_rate=5e-3,
-                             cls_weight=1.0, key=jax.random.key(11))
+def models(eagle_models):
+    # shared session-scoped fixture (conftest.py): the 200-step training run
+    # is paid once across the EAGLE test modules
+    _, _, target, eagle, trained = eagle_models
     return target, eagle, trained
 
 
@@ -135,3 +133,29 @@ def test_eagle_serving_streams(models):
     out = sum(chunks, [])
     assert len(out) == 10
     assert out == cb.completed[0].output_ids
+
+
+def test_eagle_slot_reuse_zeroes_drafter_cache(models):
+    """Admission into a reused slot must leave NO previous-occupant drafter
+    K/V: rows below the catch-up start are positionally attended but never
+    rewritten, so stale rows would condition request B's drafting on
+    request A's state (short prompts can't expose it — start clamps to 0 —
+    so assert the state directly)."""
+    target, _, trained = models
+    cb = EagleContinuousBatcher(ECFG, trained, CFG, target, num_slots=1,
+                                gamma=3, max_prompt_len=64, max_new_tokens=8,
+                                eos_tokens_id=(), key=jax.random.key(3))
+    r1 = cb.submit(PROMPTS[1])
+    cb.run()
+    assert float(np.abs(np.asarray(cb.state.e_cache.k[:, 0])).max()) > 0
+    long_prompt = [(7 * i + 3) % VOCAB for i in range(30)]
+    cb.submit(long_prompt)
+    cb.step()  # admission happens inside step(); then one window runs
+    # after one window only the catch-up rows (last gamma+1, plus draft
+    # steps) may be nonzero; every row below the window's catch-up start
+    # must be zero. pos after admission was 31, so start >= 26.
+    pos = int(np.asarray(cb.state.pos[0]))
+    start = max(pos - 1 - (cb.gamma + 1), 0)
+    assert start >= 20, "test setup must force a nonzero catch-up start"
+    k = np.asarray(cb.state.e_cache.k[:, 0, :len(long_prompt) - cb.gamma - 2])
+    assert float(np.abs(k).max()) == 0.0, "stale drafter KV leaked"
