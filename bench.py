@@ -68,6 +68,7 @@ def build_pair(quant: str = "none", tail_damp: float = None,
         max_position_embeddings=2048, rope_theta=10000.0,
         dtype=jnp.bfloat16,
         attention_impl=os.getenv("BENCH_ATTN", "xla"),
+        kv_quant=os.getenv("BENCH_KV_QUANT", "none"),
     )
     if tail_damp is None:
         tail_damp = float(os.getenv("BENCH_TAIL_DAMP", "0.08"))

@@ -45,6 +45,15 @@ class ModelConfig:
     # ops/decode_attention.py; TPU-only, falls back to xla elsewhere)
     attention_impl: str = "xla"
 
+    # KV-cache quantization: "none" | "int8" (per-(position, head) absmax
+    # scales; halves KV HBM + stream bandwidth). Applies to the slotted
+    # cache (core/cache.py) — every generation loop and scheduler builds
+    # caches through init_cache(cfg, ...), so the field flows everywhere;
+    # the paged pool (core/paged_cache.py) stays at cfg.dtype. Attention
+    # stays exact-per-quantized-value: scores scale AFTER the q·k dot and
+    # v scales fold into the probs, so no dequantized K/V is materialized.
+    kv_quant: str = "none"
+
     @property
     def q_per_kv(self) -> int:
         return self.num_heads // self.num_kv_heads

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from specdec_tpu.core.cache import KVCache
+from specdec_tpu.core.cache import KVCache, QuantKVCache
 from specdec_tpu.core.config import ModelConfig
 from specdec_tpu.core.model import _block, _mm, _norm, init_params
 from specdec_tpu.core.rope import rope_cos_sin
@@ -87,8 +87,11 @@ def _eagle_common(cfg: ModelConfig, eagle_params: Params,
                            tree=tree)
         return h, (lk, lv)
 
+    quant = isinstance(cache, QuantKVCache)
+    k_in = (cache.k, cache.k_scale) if quant else cache.k
+    v_in = (cache.v, cache.v_scale) if quant else cache.v
     x, (new_k, new_v) = lax.scan(
-        body, x, (eagle_params["layers"], cache.k, cache.v))
+        body, x, (eagle_params["layers"], k_in, v_in))
 
     f_hat = x
     h = _norm(cfg, x, target_params["final_norm_w"],
@@ -100,6 +103,10 @@ def _eagle_common(cfg: ModelConfig, eagle_params: Params,
         logits = _mm(h, target_params["lm_head"]).astype(jnp.float32)
     if cfg.logit_softcap > 0.0:
         logits = jnp.tanh(logits / cfg.logit_softcap) * cfg.logit_softcap
+    if quant:
+        return logits, f_hat, QuantKVCache(
+            k=new_k[0], k_scale=new_k[1], v=new_v[0], v_scale=new_v[1],
+            length=cache.length + T)
     return logits, f_hat, KVCache(k=new_k, v=new_v, length=cache.length + T)
 
 

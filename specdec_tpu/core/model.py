@@ -26,7 +26,9 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from specdec_tpu.core.cache import KVCache, init_cache, write_block
+from specdec_tpu.core.cache import (
+    KVCache, QuantKVCache, init_cache, write_block, write_block_quant,
+)
 from specdec_tpu.core.config import ModelConfig
 from specdec_tpu.core.rope import apply_rope, rope_cos_sin
 
@@ -74,10 +76,17 @@ def _act(cfg: ModelConfig, x):
 
 
 def _attention(cfg: ModelConfig, q, k_all, v_all, q_pos, k_len, tree=None):
-    """q: [B,T,Hq,Dh]; k_all/v_all: [B,S,Hk,Dh]; q_pos: [B,T] absolute positions.
+    """q: [B,T,Hq,Dh]; k_all/v_all: [B,S,Hk,Dh] — or, for a quantized cache,
+    (int8 [B,S,Hk,Dh], f32 [B,S,Hk] scale) pairs; q_pos: [B,T] absolute
+    positions.
 
     Mask admits key position s iff s <= q_pos[b, t] (and s < k_len safety bound,
     implied because q_pos < written length). Softmax in f32.
+
+    Quantized K/V stay int8 end-to-end: k-scales multiply the SCORES after
+    the q·k dot (scores are per-(s, h) — exactly one scale each) and
+    v-scales fold into the probabilities before the value dot, so no
+    dequantized [B, S, Hk, Dh] tensor is ever materialized.
 
     ``tree``: optional (start [B], tree_mask [T, E]) for tree-structured
     query blocks (speculative trees): key SLOTS in [start, start+E) carry
@@ -86,11 +95,15 @@ def _attention(cfg: ModelConfig, q, k_all, v_all, q_pos, k_len, tree=None):
     overridden by tree_mask there (prefix keys < start keep the position
     test; q_pos already encodes prefix+depth for rope).
     """
+    k_scale = v_scale = None
+    if isinstance(k_all, tuple):
+        k_all, k_scale = k_all
+        v_all, v_scale = v_all
     B, T, Hq, Dh = q.shape
     S = k_all.shape[1]
     Hk = cfg.num_kv_heads
     G = cfg.q_per_kv
-    if (tree is None
+    if (tree is None and k_scale is None
             and cfg.attention_impl == "flash" and cfg.logit_softcap == 0.0
             and T * G <= 1024  # decode/verify blocks only: the kernel holds
             # the whole [T*G, Dh] query block (+f32 scratch) in VMEM, so
@@ -101,8 +114,12 @@ def _attention(cfg: ModelConfig, q, k_all, v_all, q_pos, k_len, tree=None):
         return out.reshape(B, T, Hq * Dh)
     qg = q.reshape(B, T, Hk, G, Dh)
     scale = 1.0 / jnp.sqrt(Dh).astype(jnp.float32)
-    scores = jnp.einsum("bthgd,bshd->bhgts", qg, k_all,
+    k_dot = k_all.astype(qg.dtype) if k_scale is not None else k_all
+    scores = jnp.einsum("bthgd,bshd->bhgts", qg, k_dot,
                         preferred_element_type=jnp.float32) * scale
+    if k_scale is not None:
+        # one scale per (sequence slot, kv head): [B,S,Hk] -> [B,Hk,1,1,S]
+        scores = scores * jnp.transpose(k_scale, (0, 2, 1))[:, :, None, None, :]
     k_pos = jnp.arange(S, dtype=jnp.int32)
     mask = k_pos[None, None, :] <= q_pos[:, :, None]  # [B,T,S]
     if tree is not None:
@@ -116,8 +133,16 @@ def _attention(cfg: ModelConfig, q, k_all, v_all, q_pos, k_len, tree=None):
     scores = jnp.where(mask[:, None, None, :, :], scores, _NEG_INF)
     if cfg.logit_softcap > 0.0:
         scores = jnp.tanh(scores / cfg.logit_softcap) * cfg.logit_softcap
-    probs = jax.nn.softmax(scores, axis=-1).astype(v_all.dtype)
-    out = jnp.einsum("bhgts,bshd->bthgd", probs, v_all)
+    if v_scale is not None:
+        probs = jax.nn.softmax(scores, axis=-1)
+        # fold the v-scales into the probs ([B,S,Hk] -> [B,Hk,1,1,S]); the
+        # value dot then reads int8 V directly
+        probs = probs * jnp.transpose(v_scale, (0, 2, 1))[:, :, None, None, :]
+        out = jnp.einsum("bhgts,bshd->bthgd", probs.astype(cfg.dtype),
+                         v_all.astype(cfg.dtype))
+    else:
+        probs = jax.nn.softmax(scores, axis=-1).astype(v_all.dtype)
+        out = jnp.einsum("bhgts,bshd->bthgd", probs, v_all)
     return out.reshape(B, T, Hq * Dh)
 
 
@@ -142,7 +167,14 @@ def _block(cfg: ModelConfig, lp: Params, x, cos, sin, q_pos,
     q = apply_rope(q, cos, sin, rd)
     k = apply_rope(k, cos, sin, rd)
 
-    layer_k, layer_v = write_block(layer_k, layer_v, k, v, offsets)
+    if isinstance(layer_k, tuple):
+        # quantized cache: layer_k/layer_v are (int8 values, f32 scales)
+        kq, ks, vq, vs = write_block_quant(layer_k[0], layer_k[1],
+                                           layer_v[0], layer_v[1],
+                                           k, v, offsets)
+        layer_k, layer_v = (kq, ks), (vq, vs)
+    else:
+        layer_k, layer_v = write_block(layer_k, layer_v, k, v, offsets)
     attn = _attention(cfg, q, layer_k, layer_v, q_pos, None, tree=tree)
     attn = _mm(attn, lp["wo"])
     if cfg.attn_out_bias:
@@ -230,7 +262,13 @@ def _forward_common(cfg: ModelConfig, params: Params, tokens: jax.Array,
                            tree=tree)
         return h, (lk, lv)
 
-    x, (new_k, new_v) = lax.scan(body, x, (params["layers"], cache.k, cache.v))
+    # layer K/V travel through the scan as (values, scales) pairs when the
+    # cache is quantized (all leaves have the leading L axis); _block and
+    # _attention branch on the pair structure at trace time
+    quant = isinstance(cache, QuantKVCache)
+    k_in = (cache.k, cache.k_scale) if quant else cache.k
+    v_in = (cache.v, cache.v_scale) if quant else cache.v
+    x, (new_k, new_v) = lax.scan(body, x, (params["layers"], k_in, v_in))
 
     feats = x
     x = _norm(cfg, x, params["final_norm_w"], params.get("final_norm_b"))
@@ -241,6 +279,10 @@ def _forward_common(cfg: ModelConfig, params: Params, tokens: jax.Array,
         logits = _mm(x, params["lm_head"]).astype(jnp.float32)
     if cfg.logit_softcap > 0.0:
         logits = jnp.tanh(logits / cfg.logit_softcap) * cfg.logit_softcap
+    if quant:
+        return logits, feats, QuantKVCache(
+            k=new_k[0], k_scale=new_k[1], v=new_v[0], v_scale=new_v[1],
+            length=cache.length + T)
     return logits, feats, KVCache(k=new_k, v=new_v, length=cache.length + T)
 
 

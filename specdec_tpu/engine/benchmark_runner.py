@@ -105,6 +105,7 @@ class BenchmarkRunner:
         self.monitor_interval = float(os.getenv("GPU_MONITOR_INTERVAL", "1.0"))
 
         self.quantization = os.getenv("QUANTIZATION", "none").lower()
+        self.kv_quant = os.getenv("KV_QUANT", "none").lower()
         dtype_name = os.getenv("MODEL_DTYPE", "bfloat16")
         self.dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
                       "float16": jnp.bfloat16}[dtype_name]
@@ -145,7 +146,8 @@ class BenchmarkRunner:
             drafter_path = None
 
         bundle = load_models(target_path, drafter_path, dtype=self.dtype,
-                             quantization=self.quantization, mesh=mesh)
+                             quantization=self.quantization,
+                             kv_quant=self.kv_quant, mesh=mesh)
         self.target_cfg = bundle["target"]["cfg"]
         self.target_params = bundle["target"]["params"]
         if bundle["drafter"] is not None:

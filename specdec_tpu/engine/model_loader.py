@@ -141,6 +141,7 @@ def load_models(
     dtype=jnp.bfloat16,
     quantization: str = "none",          # none | int8 | nf4 (target only)
     drafter_quantization: str = "none",
+    kv_quant: str = "none",              # none | int8 (KV-cache quantization)
     mesh=None,
 ) -> Dict[str, Any]:
     """Load target (+ optional drafter) and tokenizer; returns the same
@@ -169,12 +170,17 @@ def load_models(
         return {"cfg": cfg, "params": params}, path
 
     target, tok_path = load_one(target_model_path, quant=quantization)
+    if kv_quant != "none" and not target.get("codec"):
+        # flows to every generation loop/scheduler via init_cache(cfg, ...)
+        target["cfg"] = target["cfg"].replace(kv_quant=kv_quant)
     drafter = None
     layerskip = (drafter_model_path or "").startswith("layerskip:")
     eagle = (drafter_model_path or "").startswith("eagle:")
     if drafter_model_path and not (layerskip or eagle):
         drafter, d_tok_path = load_one(drafter_model_path,
                                        quant=drafter_quantization)
+        if kv_quant != "none" and not drafter.get("codec"):
+            drafter["cfg"] = drafter["cfg"].replace(kv_quant=kv_quant)
         tok_path = tok_path or d_tok_path
 
     if tok_path:

@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from specdec_tpu.core.cache import KVCache, init_cache
+from specdec_tpu.core.cache import compact_path, init_cache
 from specdec_tpu.core.config import ModelConfig
 from specdec_tpu.core.eagle import eagle_forward, eagle_forward_tree
 from specdec_tpu.core.model import (
@@ -217,15 +217,8 @@ def _eagle_tree_generate(
         # --- compact the accepted path in the TARGET cache only (the eagle
         # cache is re-derived by the next catch-up) -----------------------
         t_start = t_cache.length  # [1] = pos-1 (tree node 0 slot)
-        idx_rows = t_start[0] + chain
-        k_rows = jnp.take(t_cache_l.k, idx_rows, axis=2)
-        v_rows = jnp.take(t_cache_l.v, idx_rows, axis=2)
-        k = lax.dynamic_update_slice(
-            t_cache_l.k, k_rows, (0, 0, t_start[0] + 1, 0, 0))
-        v = lax.dynamic_update_slice(
-            t_cache_l.v, v_rows, (0, 0, t_start[0] + 1, 0, 0))
-        t_cache = KVCache(k=k, v=v,
-                          length=(new_pos - 1)[None].astype(jnp.int32))
+        t_cache = compact_path(t_cache_l, t_start[0] + chain, t_start[0] + 1,
+                               (new_pos - 1)[None].astype(jnp.int32))
 
         corrected = jnp.clip(total_len - pos - 1, 0, d)
         acc_cnt = acc_cnt + jnp.minimum(n_acc, corrected)

@@ -46,7 +46,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from specdec_tpu.core.cache import KVCache, init_cache
+from specdec_tpu.core.cache import compact_path, init_cache
 from specdec_tpu.core.config import ModelConfig
 from specdec_tpu.core.model import forward_step, forward_step_tree
 from specdec_tpu.sampling.processors import GreedyProcessor
@@ -316,19 +316,11 @@ def _tree_spec_generate(
         # --- compact the accepted path into contiguous slots -------------
         # tree rows live at slots start..start+N-1 in node order; the chain
         # node at depth j must land at slot start+j (root stays at start)
-        def compact(cache):
-            idx = start[0] + chain                       # [d] traced slots
-            k_rows = jnp.take(cache.k, idx, axis=2)      # [L, 1, d, Hk, Dh]
-            v_rows = jnp.take(cache.v, idx, axis=2)
-            k = lax.dynamic_update_slice(
-                cache.k, k_rows, (0, 0, start[0] + 1, 0, 0))
-            v = lax.dynamic_update_slice(
-                cache.v, v_rows, (0, 0, start[0] + 1, 0, 0))
-            return KVCache(k=k, v=v,
-                           length=(new_pos - 1)[None].astype(jnp.int32))
-
-        d_cache = compact(d_cache_l)
-        t_cache = compact(t_cache_l)
+        new_len = (new_pos - 1)[None].astype(jnp.int32)
+        d_cache = compact_path(d_cache_l, start[0] + chain, start[0] + 1,
+                               new_len)
+        t_cache = compact_path(t_cache_l, start[0] + chain, start[0] + 1,
+                               new_len)
 
         corrected = jnp.clip(total_len - pos - 1, 0, d)
         acc_cnt = acc_cnt + jnp.minimum(n_acc, corrected)

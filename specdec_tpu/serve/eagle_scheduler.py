@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from specdec_tpu.core.cache import init_cache
+from specdec_tpu.core.cache import init_cache, install_slot, zero_slot
 from specdec_tpu.core.config import ModelConfig
 from specdec_tpu.core.model import forward_step_features
 from specdec_tpu.engine.eagle_batch import EagleBatchState, eagle_batch_windows
@@ -84,24 +84,6 @@ def _admit_eagle_slot(eagle_cfg: ModelConfig, eagle_params,
     def put_row(arr, val):
         return lax.dynamic_update_index_in_dim(arr, val, slot, axis=0)
 
-    t_cache = state.t_cache
-    new_k = lax.dynamic_update_slice_in_dim(t_cache.k, t_cache1.k, slot,
-                                            axis=1)
-    new_v = lax.dynamic_update_slice_in_dim(t_cache.v, t_cache1.v, slot,
-                                            axis=1)
-    # The window catch-up only rewrites the last gamma+1 eagle rows; rows
-    # below its start are positionally admitted by attention but never
-    # rewritten on slot REUSE — zero them so the new request matches the
-    # one-shot engine path (eagle_batch_prefill starts from init_cache)
-    # instead of attending the previous occupant's drafter K/V.
-    e_cache = state.e_cache
-    ez_k = lax.dynamic_update_slice_in_dim(
-        e_cache.k, jnp.zeros_like(
-            lax.dynamic_slice_in_dim(e_cache.k, 0, 1, axis=1)), slot, axis=1)
-    ez_v = lax.dynamic_update_slice_in_dim(
-        e_cache.v, jnp.zeros_like(
-            lax.dynamic_slice_in_dim(e_cache.v, 0, 1, axis=1)), slot, axis=1)
-
     return dataclasses.replace(
         state,
         buf=put_row(state.buf, row),
@@ -110,11 +92,14 @@ def _admit_eagle_slot(eagle_cfg: ModelConfig, eagle_params,
         prompt_len=put_row(state.prompt_len, prompt_len),
         total_len=put_row(state.total_len, total),
         finished=put_row(state.finished, finished),
-        t_cache=dataclasses.replace(t_cache, k=new_k, v=new_v,
-                                    length=put_row(t_cache.length, pos - 1)),
-        e_cache=dataclasses.replace(
-            e_cache, k=ez_k, v=ez_v,
-            length=put_row(e_cache.length, jnp.int32(0))),
+        t_cache=install_slot(state.t_cache, t_cache1, slot, pos - 1),
+        # The window catch-up only rewrites the last gamma+1 eagle rows;
+        # rows below its start are positionally admitted by attention but
+        # never rewritten on slot REUSE — zero them so the new request
+        # matches the one-shot engine path (eagle_batch_prefill starts from
+        # init_cache) instead of attending the previous occupant's drafter
+        # K/V.
+        e_cache=zero_slot(state.e_cache, slot, jnp.int32(0)),
         accepted=put_row(state.accepted, jnp.int32(0)),
         speculated=put_row(state.speculated, jnp.int32(0)),
     )

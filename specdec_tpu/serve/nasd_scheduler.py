@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from specdec_tpu.core.cache import init_cache
+from specdec_tpu.core.cache import init_cache, install_slot
 from specdec_tpu.core.config import ModelConfig
 from specdec_tpu.core.model import forward_step
 from specdec_tpu.engine.metrics import RequestMetrics
@@ -86,10 +86,6 @@ def _admit_nasd_slot(cfg: ModelConfig, params,
     def put_row(arr, val):
         return lax.dynamic_update_index_in_dim(arr, val, slot, axis=0)
 
-    t_cache = state.t_cache
-    new_k = lax.dynamic_update_slice_in_dim(t_cache.k, cache1.k, slot, axis=1)
-    new_v = lax.dynamic_update_slice_in_dim(t_cache.v, cache1.v, slot, axis=1)
-
     state = dataclasses.replace(
         state,
         buf=put_row(state.buf, row),
@@ -97,8 +93,7 @@ def _admit_nasd_slot(cfg: ModelConfig, params,
         prompt_len=put_row(state.prompt_len, prompt_len),
         total_len=put_row(state.total_len, total),
         finished=put_row(state.finished, finished),
-        t_cache=dataclasses.replace(t_cache, k=new_k, v=new_v,
-                                    length=put_row(t_cache.length, pos - 1)),
+        t_cache=install_slot(state.t_cache, cache1, slot, pos - 1),
         accepted=put_row(state.accepted, jnp.int32(0)),
         speculated=put_row(state.speculated, jnp.int32(0)),
     )

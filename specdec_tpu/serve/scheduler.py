@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from specdec_tpu.core.cache import init_cache
+from specdec_tpu.core.cache import init_cache, install_slot
 from specdec_tpu.core.config import ModelConfig
 from specdec_tpu.core.model import forward_step
 from specdec_tpu.engine.batch_engine import BatchState, batch_spec_window
@@ -94,13 +94,6 @@ def _admit_slot(drafter_cfg: ModelConfig, drafter_params,
     def put_row(arr, val):
         return lax.dynamic_update_index_in_dim(arr, val, slot, axis=0)
 
-    t_cache = state.t_cache
-    d_cache = state.d_cache
-    new_t_k = lax.dynamic_update_slice_in_dim(t_cache.k, t_cache1.k, slot, axis=1)
-    new_t_v = lax.dynamic_update_slice_in_dim(t_cache.v, t_cache1.v, slot, axis=1)
-    new_d_k = lax.dynamic_update_slice_in_dim(d_cache.k, d_cache1.k, slot, axis=1)
-    new_d_v = lax.dynamic_update_slice_in_dim(d_cache.v, d_cache1.v, slot, axis=1)
-
     return dataclasses.replace(
         state,
         buf=put_row(state.buf, row),
@@ -108,11 +101,9 @@ def _admit_slot(drafter_cfg: ModelConfig, drafter_params,
         prompt_len=put_row(state.prompt_len, prompt_len),
         total_len=put_row(state.total_len, total),
         finished=put_row(state.finished, finished),
-        t_cache=dataclasses.replace(t_cache, k=new_t_k, v=new_t_v,
-                                    length=put_row(t_cache.length, pos - 1)),
+        t_cache=install_slot(state.t_cache, t_cache1, slot, pos - 1),
         # drafter invariant: covers pos-2 (two-token first draft step)
-        d_cache=dataclasses.replace(d_cache, k=new_d_k, v=new_d_v,
-                                    length=put_row(d_cache.length, pos - 2)),
+        d_cache=install_slot(state.d_cache, d_cache1, slot, pos - 2),
         accepted=put_row(state.accepted, jnp.int32(0)),
         speculated=put_row(state.speculated, jnp.int32(0)),
     )
