@@ -86,12 +86,23 @@ def param_pspecs(cfg: ModelConfig, replicated: bool = False):
     return specs
 
 
-def cache_pspec(cfg: ModelConfig, replicated_model: bool = False) -> KVCache:
-    """PartitionSpecs for a KVCache pytree: [L, B, S, Hk, Dh]."""
+def cache_pspec(cfg: ModelConfig, replicated_model: bool = False):
+    """PartitionSpecs matching the cache pytree cfg selects: [L, B, S, Hk,
+    Dh] values (head-sharded over 'model' like the kv projections), plus
+    [L, B, S, Hk] scales for the int8 format."""
     m = None if replicated_model else MODEL_AXIS
+    kv = P(None, DATA_AXIS, None, m, None)
+    if getattr(cfg, "kv_quant", "none") == "int8":
+        from specdec_tpu.core.cache import QuantKVCache
+        return QuantKVCache(
+            k=kv, v=kv,
+            k_scale=P(None, DATA_AXIS, None, m),
+            v_scale=P(None, DATA_AXIS, None, m),
+            length=P(DATA_AXIS),
+        )
     return KVCache(
-        k=P(None, DATA_AXIS, None, m, None),
-        v=P(None, DATA_AXIS, None, m, None),
+        k=kv,
+        v=kv,
         length=P(DATA_AXIS),
     )
 

@@ -150,3 +150,23 @@ def test_sharded_continuous_batching_matches_unsharded(models):
     d_repl = shard_params(drafter, CFG, mesh, replicated=True)
     sharded = run(t_sharded, d_repl)
     assert sharded == base
+
+
+def test_sharded_spec_decode_int8_kv(models):
+    """TP-sharded speculative decoding with the INT8 KV cache must be
+    token-identical to the unsharded int8-KV run (scales shard over the
+    head axis alongside their values — parallel.mesh.cache_pspec)."""
+    target, drafter = models
+    qcfg = CFG.replace(kv_quant="int8")
+    base, base_rates = batch_speculative_generate(
+        PROMPTS, qcfg, drafter, qcfg, target, gamma=3, gen_len=12,
+        eos_tokens_id=(), key=jax.random.key(5))
+
+    mesh = build_mesh(jax.devices(), tp=4, dp=2)
+    t_sharded = shard_params(target, CFG, mesh, replicated=False)
+    d_repl = shard_params(drafter, CFG, mesh, replicated=True)
+    outs, rates = batch_speculative_generate(
+        PROMPTS, qcfg, d_repl, qcfg, t_sharded, gamma=3, gen_len=12,
+        eos_tokens_id=(), key=jax.random.key(5))
+    assert outs == base
+    np.testing.assert_allclose(rates, base_rates)
