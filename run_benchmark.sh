@@ -35,6 +35,7 @@ export TARGET_MODEL=${TARGET_MODEL:-"synthetic:llama-1b"}
 export DRAFTER_MODEL=${DRAFTER_MODEL:-"synthetic:llama-70m"}
 export MODEL_DTYPE=${MODEL_DTYPE:-"bfloat16"}      # bfloat16 | float32
 export QUANTIZATION=${QUANTIZATION:-"none"}        # none | int8 | int4 | nf4 | fp4
+export KV_QUANT=${KV_QUANT:-"none"}                # none | int8 (KV-cache quant)
 
 # ----------------------------------------------------------------------------
 # Dataset (ShareGPT jsonl files; same filtering as the reference)

@@ -123,3 +123,28 @@ def test_quant_loader_env_surface(monkeypatch):
     assert b["drafter"]["cfg"].kv_quant == "int8"
     b2 = load_models("synthetic:tiny")
     assert b2["target"]["cfg"].kv_quant == "none"
+
+
+def test_quant_kv_nll_close_to_exact_cache():
+    """Quality gate for the KV quantization itself: per-token NLL computed
+    through the CACHED forward (the path that actually consumes quantized
+    K/V) must sit within a small relative delta of the exact-cache NLL —
+    the KV analog of the weight-quant ppl gates in tests/test_evaluate.py."""
+    rng = np.random.default_rng(0)
+    seqs = [rng.integers(1, VOCAB, size=n).tolist() for n in (9, 14, 20)]
+
+    def cached_nll(cfg):
+        total, n_tok = 0.0, 0
+        for s in seqs:
+            toks = jnp.asarray([s])
+            logits, _ = forward_step(cfg, TARGET, toks,
+                                     init_cache(cfg, 1, len(s) + 2))
+            lp = jax.nn.log_softmax(logits[0, :-1].astype(jnp.float32), -1)
+            total -= float(jnp.sum(lp[jnp.arange(len(s) - 1),
+                                      jnp.asarray(s[1:])]))
+            n_tok += len(s) - 1
+        return total / n_tok
+
+    exact = cached_nll(CFG)
+    quant = cached_nll(QCFG)
+    assert abs(quant - exact) / exact < 0.05, (exact, quant)
