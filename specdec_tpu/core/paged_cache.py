@@ -80,6 +80,12 @@ class PageAllocator:
         for p in self.owned.pop(owner, []):
             self.free.append(p)
 
+    def disown(self, owner, page: int):
+        """Transfer one page out of ``owner``'s list without freeing it —
+        used when a prompt block's page is handed to the prefix cache, which
+        then owns its lifetime (serve/prefix_cache.py)."""
+        self.owned[owner].remove(page)
+
 
 def init_paged_cache(cfg, batch_size: int, num_pages: int, page_size: int,
                      max_pages_per_seq: int, dtype=None) -> PagedKVCache:

@@ -151,6 +151,21 @@ class VLLMEngineManager:
                 drafter["cfg"], drafter["params"],
                 bundle["target"]["cfg"], bundle["target"]["params"],
                 **common)
+            if self.config.enable_prefix_caching:
+                import warnings
+                warnings.warn("enable_prefix_caching is only implemented in "
+                              "the paged engine; ignored for the EAGLE "
+                              "batcher", stacklevel=2)
+        elif self.config.enable_prefix_caching:
+            # vLLM's automatic prefix caching lives in its paged engine;
+            # same here (serve/prefix_cache.py over the paged batcher)
+            from specdec_tpu.serve.paged_scheduler import (
+                PagedContinuousBatcher,
+            )
+            self.batcher = PagedContinuousBatcher(
+                drafter["cfg"], drafter["params"],
+                bundle["target"]["cfg"], bundle["target"]["params"],
+                prefix_caching=True, **common)
         else:
             self.batcher = ContinuousBatcher(
                 drafter["cfg"], drafter["params"],

@@ -39,14 +39,26 @@ from specdec_tpu.serve.scheduler import ContinuousBatcher, Request
 def _admit_slot_paged(drafter_cfg: ModelConfig, drafter_params,
                       target_cfg: ModelConfig, target_params,
                       state: BatchState, slot: jax.Array,
-                      prompt: jax.Array, prompt_len: jax.Array,
+                      prompt: jax.Array, suffix: jax.Array,
+                      cached_len: jax.Array, prompt_len: jax.Array,
                       max_new: jax.Array,
                       t_row: jax.Array, d_row: jax.Array,
                       processor: LogitsProcessor, eos_ids: Tuple[int, ...],
                       key: jax.Array) -> BatchState:
     """Install a request in ``slot``: write its page-table rows, prefill both
     models through the shared pools (pages are disjoint, so other slots'
-    data is untouched), commit the first target token."""
+    data is untouched), commit the first target token.
+
+    Prefix caching enters here as partial prefill: ``suffix`` holds
+    prompt[cached_len:] (zero-padded to its own static bucket length) and the
+    forward runs with view length = cached_len, so RoPE positions and the
+    causal mask (k_pos <= q_pos in both attention paths) come out exactly as
+    a full prefill would — the first cached_len positions are READ from the
+    shared pages named by the table row instead of recomputed. Padding
+    positions past prompt_len write into this slot's own future pages (or the
+    clamped garbage page): never attended before being overwritten, because
+    every later query at position p only admits keys <= p, all rewritten by
+    then. Without prefix caching, suffix IS prompt and cached_len == 0."""
     S = state.buf.shape[1]
 
     def put_row(arr, val):
@@ -60,17 +72,18 @@ def _admit_slot_paged(drafter_cfg: ModelConfig, drafter_params,
     # batch-of-one views sharing the pools
     t_view = PagedKVCache(k=t_cache.k, v=t_cache.v,
                           page_table=t_row[None, :],
-                          length=jnp.zeros((1,), jnp.int32))
+                          length=cached_len[None])
     t_logits, t_view = forward_step_paged(target_cfg, target_params,
-                                          prompt[None, :], t_view)
+                                          suffix[None, :], t_view)
     d_view = PagedKVCache(k=d_cache.k, v=d_cache.v,
                           page_table=d_row[None, :],
-                          length=jnp.zeros((1,), jnp.int32))
+                          length=cached_len[None])
     _, d_view = forward_step_paged(drafter_cfg, drafter_params,
-                                   prompt[None, :], d_view)
+                                   suffix[None, :], d_view)
 
-    last = jnp.take_along_axis(t_logits, (prompt_len - 1)[None, None, None],
-                               axis=1)[0, 0]
+    last = jnp.take_along_axis(
+        t_logits, (prompt_len - cached_len - 1)[None, None, None],
+        axis=1)[0, 0]
     p0 = processor(last)
     tok0 = processor.sample(p0, key).astype(jnp.int32)
 
@@ -112,6 +125,8 @@ class PagedContinuousBatcher(ContinuousBatcher):
                  num_slots: int = 4, gamma: int = 4,
                  max_prompt_len: int = 256, max_new_tokens: int = 128,
                  page_size: int = 64, pool_tokens: Optional[int] = None,
+                 prefix_caching: bool = False,
+                 prefill_buckets: Optional[Tuple[int, ...]] = None,
                  **kw):
         super().__init__(drafter_cfg, drafter_params, target_cfg,
                          target_params, num_slots=num_slots, gamma=gamma,
@@ -151,6 +166,25 @@ class PagedContinuousBatcher(ContinuousBatcher):
         self._tables_dirty = False
         self.preemptions = 0
 
+        # vLLM-style automatic prefix caching (serve/prefix_cache.py):
+        # content-addressed prompt pages shared across requests. Off by
+        # default — it changes admission from one static prefill shape to a
+        # small bucket set (each bucket is one extra TPU compile).
+        self.prefix_caching = prefix_caching
+        from specdec_tpu.serve.prefix_cache import PrefixBlockCache
+        self.prefix_cache = PrefixBlockCache()
+        if prefill_buckets is None:
+            P = max_prompt_len
+            if prefix_caching:
+                buckets = sorted({max(page_size, P // 4), P // 2, P})
+                prefill_buckets = tuple(b for b in buckets if b <= P)
+            else:
+                # without reuse the suffix is always the whole prompt — one
+                # shape, one compile (each bucket costs a TPU compile)
+                prefill_buckets = (P,)
+        self.prefill_buckets = tuple(sorted(prefill_buckets))
+        self._slot_shared: List[List[int]] = [[] for _ in range(num_slots)]
+
     # ------------------------------------------------------------ page mgmt
     def _needed_now(self, length: int) -> int:
         """Pages needed to cover `length` tokens plus one full device
@@ -167,6 +201,29 @@ class PagedContinuousBatcher(ContinuousBatcher):
         row[:len(pages)] = pages
         return jnp.asarray(row)
 
+    def _alloc(self, alloc: PageAllocator, owner, n: int) -> List[int]:
+        """Allocator front door: when prefix caching holds refcnt-0 blocks,
+        an empty free list is pressure, not exhaustion — evict LRU blocks
+        (freeing one page in EACH pool, entries are pairs) before letting
+        MemoryError propagate to the preemption path."""
+        deficit = n - len(alloc.free)
+        if deficit > 0 and self.prefix_caching:
+            t_pages, d_pages = self.prefix_cache.reclaim(deficit)
+            self._alloc_t.free.extend(t_pages)
+            self._alloc_d.free.extend(d_pages)
+        return alloc.alloc(owner, n)
+
+    def _release_slot_pages(self, slot: int, req: Request):
+        """Return a slot's pages: owned ones to the free lists, shared
+        prefix blocks via refcount release (they stay cached for reuse)."""
+        self._alloc_t.free_owner(("t", slot, req.request_id))
+        self._alloc_d.free_owner(("d", slot, req.request_id))
+        for key in self._slot_shared[slot]:
+            self.prefix_cache.release(key)
+        self._slot_shared[slot] = []
+        self._slot_pages_t[slot] = []
+        self._slot_pages_d[slot] = []
+
     def _preempt(self, slot: int):
         """Pool pressure: evict this slot's request back to the queue FRONT
         and recycle its pages (vLLM's recompute-mode preemption — the request
@@ -176,10 +233,7 @@ class PagedContinuousBatcher(ContinuousBatcher):
         continuous-batching row); natively it is what makes an optimistic
         page pool safe."""
         req = self.slot_req[slot]
-        self._alloc_t.free_owner(("t", slot, req.request_id))
-        self._alloc_d.free_owner(("d", slot, req.request_id))
-        self._slot_pages_t[slot] = []
-        self._slot_pages_d[slot] = []
+        self._release_slot_pages(slot, req)
         self.slot_req[slot] = None
         self._slot_first_token[slot] = None
         self.queue.insert(0, req)
@@ -207,8 +261,9 @@ class PagedContinuousBatcher(ContinuousBatcher):
                         (self._alloc_t, self._slot_pages_t[slot], "t"),
                         (self._alloc_d, self._slot_pages_d[slot], "d")):
                     if len(pages) < need:
-                        pages.extend(alloc.alloc((tag, slot, req.request_id),
-                                                 need - len(pages)))
+                        pages.extend(self._alloc(
+                            alloc, (tag, slot, req.request_id),
+                            need - len(pages)))
                         changed = True
             except MemoryError:
                 if sum(r is not None for r in self.slot_req) == 1:
@@ -229,28 +284,78 @@ class PagedContinuousBatcher(ContinuousBatcher):
                                             page_table=d_tbl))
 
     # ------------------------------------------------------------ overrides
+    def _match_blocks(self, req: Request) -> Tuple[List[int], int]:
+        """(all block keys of the truncated prompt, matched block count).
+        The match is capped at prompt_len-1 tokens: the admission must
+        forward at least the last prompt token to produce tok0's logits, and
+        the cap also keeps the drafter's first-draft rewrite of position
+        prompt_len-1 out of shared pages."""
+        from specdec_tpu.serve.prefix_cache import block_keys
+        n = min(len(req.prompt_ids), self.max_prompt_len)
+        keys = block_keys(req.prompt_ids[:n], self.page_size)
+        m = min(self.prefix_cache.match_len(keys),
+                (n - 1) // self.page_size)
+        return keys, m
+
     def _can_admit(self, req: Request) -> bool:
         need = self._needed_now(min(len(req.prompt_ids), self.max_prompt_len)
                                 + 1)
-        return (len(self._alloc_t.free) >= need and
-                len(self._alloc_d.free) >= need)
+        if not self.prefix_caching:
+            return (len(self._alloc_t.free) >= need and
+                    len(self._alloc_d.free) >= need)
+        _, m = self._match_blocks(req)
+        avail = min(len(self._alloc_t.free), len(self._alloc_d.free))
+        return need - m <= avail + self.prefix_cache.evictable
 
     def _admit(self, slot: int, req: Request, sync: bool = True):
         P = self.max_prompt_len
         n = min(len(req.prompt_ids), P)
         need = self._needed_now(n + 1)
-        self._slot_pages_t[slot] = self._alloc_t.alloc(("t", slot, req.request_id), need)
-        self._slot_pages_d[slot] = self._alloc_d.alloc(("d", slot, req.request_id), need)
+        keys: List[int] = []
+        m = 0
+        if self.prefix_caching:
+            keys, m = self._match_blocks(req)
+            for k in keys[:m]:
+                self.prefix_cache.acquire(k)
+            hits = [self.prefix_cache.pages(k) for k in keys[:m]]
+            self.prefix_cache.hit_tokens += m * self.page_size
+            self.prefix_cache.lookup_tokens += n
+        else:
+            hits = []
+        self._slot_shared[slot] = list(keys[:m])
+        owner_t, owner_d = ("t", slot, req.request_id), ("d", slot, req.request_id)
+        self._slot_pages_t[slot] = ([h[0] for h in hits]
+                                    + self._alloc(self._alloc_t, owner_t,
+                                                  need - m))
+        self._slot_pages_d[slot] = ([h[1] for h in hits]
+                                    + self._alloc(self._alloc_d, owner_d,
+                                                  need - m))
 
+        cached_len = m * self.page_size
+        suffix_len = n - cached_len
+        bucket = next((b for b in self.prefill_buckets if b >= suffix_len), P)
         prompt = np.zeros((P,), np.int32)
         prompt[:n] = req.prompt_ids[:n]
+        suffix = np.zeros((bucket,), np.int32)
+        suffix[:suffix_len] = req.prompt_ids[cached_len:n]
         self.state = _admit_slot_paged(
             self.drafter_cfg, self.drafter_params, self.target_cfg,
             self.target_params, self.state, jnp.int32(slot), jnp.asarray(prompt),
+            jnp.asarray(suffix), jnp.int32(cached_len),
             jnp.int32(n), jnp.int32(req.max_new_tokens),
             self._table_row(self._slot_pages_t[slot]),
             self._table_row(self._slot_pages_d[slot]),
             self.processor, self.eos_ids, self._next_key())
+        if self.prefix_caching:
+            # hand the freshly prefilled full prompt blocks to the cache
+            # (refcount 1, held by this slot until release)
+            for i in range(m, n // self.page_size):
+                tp = self._slot_pages_t[slot][i]
+                dp = self._slot_pages_d[slot][i]
+                if self.prefix_cache.insert(keys[i], tp, dp):
+                    self._alloc_t.disown(owner_t, tp)
+                    self._alloc_d.disown(owner_d, dp)
+                    self._slot_shared[slot].append(keys[i])
         self.slot_req[slot] = req
         from specdec_tpu.engine.metrics import RequestMetrics
         req.metrics = RequestMetrics(prompt_tokens=n,
@@ -264,10 +369,7 @@ class PagedContinuousBatcher(ContinuousBatcher):
         req = self.slot_req[slot]
         super()._harvest(slot, buf, pos, plen, accepted, speculated)
         if req is not None:
-            self._alloc_t.free_owner(("t", slot, req.request_id))
-            self._alloc_d.free_owner(("d", slot, req.request_id))
-            self._slot_pages_t[slot] = []
-            self._slot_pages_d[slot] = []
+            self._release_slot_pages(slot, req)
             # stale table rows must stop pointing at recycled pages before
             # the next window runs
             self._tables_dirty = True
