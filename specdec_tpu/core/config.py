@@ -36,6 +36,10 @@ class ModelConfig:
     mlp_bias: bool = False  # gpt-neox
     qk_norm: bool = False  # qwen3: per-head RMSNorm on q and k
     tie_embeddings: bool = False
+    # multiplier on the embedding output only (gemma: sqrt(hidden_size); the
+    # tied lm_head uses the UNSCALED table, so this cannot be folded into
+    # the weights at load time)
+    embed_scale: float = 1.0
     dtype: Any = jnp.float32
 
     # logit soft-capping (gemma2-style); 0 disables

@@ -5,8 +5,8 @@ engine/models.py:5-26) — but instead of instantiating torch modules on GPUs, w
 convert weights into a pure JAX pytree (optionally sharded onto a device mesh by
 the caller). torch is only used as a CPU-side tensor reader.
 
-Supported families: llama/mistral/tinyllama, qwen2, qwen3 (qk-norm), gpt-neox
-(pythia). The reference additionally relied on HF generate-time behavior; all
+Supported families: llama/mistral/tinyllama, qwen2, qwen3 (qk-norm), gemma
+(scaled embeddings, (1+w) norms, GeGLU), gpt-neox (pythia). The reference additionally relied on HF generate-time behavior; all
 decode logic lives in specdec_tpu.sampling / specdec_tpu.engine instead.
 """
 from __future__ import annotations
@@ -45,6 +45,31 @@ def config_from_hf(hf_cfg, dtype=jnp.float32) -> ModelConfig:
             attn_qkv_bias=(mt == "qwen2"),
             qk_norm=(mt == "qwen3"),
             tie_embeddings=getattr(hf_cfg, "tie_word_embeddings", False),
+            dtype=dtype,
+        )
+    if mt == "gemma":
+        # gemma quirks vs llama: explicit head_dim, sqrt(hidden) embedding
+        # scale, GeGLU with tanh-gelu, (1+w) RMSNorm scaling (folded into the
+        # converted weights — the model's rms_norm stays generic), tied head.
+        # gemma2 (post-norms, attn softcap, sliding window) is NOT supported.
+        act = getattr(hf_cfg, "hidden_activation", None) or hf_cfg.hidden_act
+        return ModelConfig(
+            vocab_size=hf_cfg.vocab_size,
+            hidden_size=hf_cfg.hidden_size,
+            intermediate_size=hf_cfg.intermediate_size,
+            num_layers=hf_cfg.num_hidden_layers,
+            num_heads=hf_cfg.num_attention_heads,
+            num_kv_heads=getattr(hf_cfg, "num_key_value_heads",
+                                 hf_cfg.num_attention_heads),
+            head_dim=hf_cfg.head_dim,
+            max_position_embeddings=hf_cfg.max_position_embeddings,
+            rope_theta=getattr(hf_cfg, "rope_theta", 10000.0),
+            norm_eps=hf_cfg.rms_norm_eps,
+            norm_type="rmsnorm",
+            act="gelu_tanh" if act == "gelu_pytorch_tanh" else act,
+            gated_mlp=True,
+            tie_embeddings=getattr(hf_cfg, "tie_word_embeddings", True),
+            embed_scale=float(hf_cfg.hidden_size) ** 0.5,
             dtype=dtype,
         )
     if mt == "gpt_neox":
@@ -94,7 +119,7 @@ def params_from_hf(hf_model, cfg: ModelConfig) -> Params:
     """Convert an HF torch model's state dict to a specdec_tpu params pytree."""
     sd = {k: _np(v) for k, v in hf_model.state_dict().items()}
     mt = hf_model.config.model_type
-    if mt in ("llama", "mistral", "qwen2", "qwen3"):
+    if mt in ("llama", "mistral", "qwen2", "qwen3", "gemma"):
         return _params_from_llama_sd(sd, cfg, mt)
     if mt == "gpt_neox":
         return _params_from_neox_sd(sd, cfg)
@@ -134,6 +159,12 @@ def _params_from_llama_sd(sd, cfg: ModelConfig, mt: str) -> Params:
     }
     if not cfg.tie_embeddings:
         params["lm_head"] = _cast(np.swapaxes(sd["lm_head.weight"], 0, 1), cfg)
+    if mt == "gemma":
+        # gemma's RMSNorm scales by (1 + weight); fold the +1 here so the
+        # model's rms_norm stays family-generic
+        for key in ("attn_norm_w", "mlp_norm_w"):
+            layers[key] = layers[key] + 1.0
+        params["final_norm_w"] = params["final_norm_w"] + 1.0
     return params
 
 

@@ -254,6 +254,8 @@ def _forward_common(cfg: ModelConfig, params: Params, tokens: jax.Array,
     offsets = cache.length
     cos, sin = rope_cos_sin(q_pos, cfg.rotary_dim, cfg.rope_theta)
     x = params["embed"][tokens].astype(cfg.dtype)
+    if cfg.embed_scale != 1.0:  # gemma: sqrt(hidden) on the embedding only
+        x = x * jnp.asarray(cfg.embed_scale, cfg.dtype)
 
     def body(carry, scanned):
         h = carry
@@ -440,6 +442,8 @@ def forward_step_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
         use_kernel = jax.default_backend() == "tpu" and cfg.logit_softcap == 0.0
 
     x = params["embed"][tokens].astype(cfg.dtype)
+    if cfg.embed_scale != 1.0:  # gemma: sqrt(hidden) on the embedding only
+        x = x * jnp.asarray(cfg.embed_scale, cfg.dtype)
 
     def body(carry, scanned):
         h = carry

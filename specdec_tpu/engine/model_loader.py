@@ -195,12 +195,18 @@ def load_models(
     end_tokens = []
     if tokenizer.eos_token_id is not None:
         end_tokens.append(int(tokenizer.eos_token_id))
-    try:
-        im_end = tokenizer.convert_tokens_to_ids("<|im_end|>")
-        if im_end is not None and im_end >= 0 and im_end not in end_tokens:
-            end_tokens.append(int(im_end))
-    except Exception:
-        pass
+    # chat-turn terminators: Qwen <|im_end|> (ref :119-127) and, same
+    # pattern, gemma's <end_of_turn>
+    for turn_end in ("<|im_end|>", "<end_of_turn>"):
+        try:
+            tid = tokenizer.convert_tokens_to_ids(turn_end)
+            # convert_tokens_to_ids maps UNKNOWN tokens to unk_token_id on
+            # many tokenizers — require real vocab membership
+            if (tid is not None and tid >= 0 and tid not in end_tokens
+                    and turn_end in tokenizer.get_vocab()):
+                end_tokens.append(int(tid))
+        except Exception:
+            pass
 
     # synthetic models are built directly quantized (load_one); checkpoint
     # models quantize post-load here

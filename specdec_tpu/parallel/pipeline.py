@@ -128,6 +128,8 @@ def pipeline_forward_full(cfg: ModelConfig, params, tokens: jax.Array,
             # stage 0 sources microbatch t (clamped; masked when t >= M)
             j0 = jnp.clip(t, 0, M - 1)
             x0 = params["embed"][tokens_mb[j0]].astype(cfg.dtype)
+            if cfg.embed_scale != 1.0:
+                x0 = x0 * jnp.asarray(cfg.embed_scale, cfg.dtype)
             x_in = jnp.where(sid == 0, x0, recv)
             # stage s is live for microbatch t-s when 0 <= t-s < M; bubble
             # steps still compute (classic GPipe) but their results are

@@ -74,11 +74,27 @@ def _neox_model():
     return GPTNeoXForCausalLM(cfg).eval()
 
 
+def _gemma_model():
+    import torch
+    from transformers import GemmaConfig, GemmaForCausalLM
+
+    torch.manual_seed(4)
+    cfg = GemmaConfig(
+        vocab_size=128, hidden_size=48, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=1,
+        head_dim=16, max_position_embeddings=128, rms_norm_eps=1e-6,
+        tie_word_embeddings=True,
+    )
+    return GemmaForCausalLM(cfg).eval()
+
+
 MODELS = {
     "llama_gqa": _llama_model,
     "qwen2": _qwen2_model,
     "qwen3": _qwen3_model,
     "gpt_neox": _neox_model,
+    # gemma: sqrt(hidden) embed scale, (1+w) norms, GeGLU tanh, MQA, tied head
+    "gemma": _gemma_model,
 }
 
 
