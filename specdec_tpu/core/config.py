@@ -51,9 +51,11 @@ class ModelConfig:
 
     # KV-cache quantization: "none" | "int8" (per-(position, head) absmax
     # scales; halves KV HBM + stream bandwidth). Applies to the slotted
-    # cache (core/cache.py) — every generation loop and scheduler builds
-    # caches through init_cache(cfg, ...), so the field flows everywhere;
-    # the paged pool (core/paged_cache.py) stays at cfg.dtype. Attention
+    # cache (core/cache.py) AND the paged pool (core/paged_cache.py::
+    # QuantPagedKVCache — a given pool then backs twice the tokens; the
+    # Pallas paged kernel reads raw values, so quantized pools take the
+    # gather path) — every generation loop and scheduler builds caches
+    # through init_cache/init_paged_cache(cfg, ...). Attention
     # stays exact-per-quantized-value: scores scale AFTER the q·k dot and
     # v scales fold into the probs, so no dequantized K/V is materialized.
     kv_quant: str = "none"

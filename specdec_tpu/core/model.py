@@ -430,7 +430,8 @@ def forward_step_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
     page tables. Attention uses the Pallas paged kernel on TPU
     (ops/paged_attention.py) and a gather-based XLA path elsewhere."""
     from specdec_tpu.core.paged_cache import (
-        PagedKVCache, gather_pages, write_block_paged,
+        PagedKVCache, QuantPagedKVCache, gather_page_scales, gather_pages,
+        write_block_paged, write_block_paged_quant,
     )
 
     B, T = tokens.shape
@@ -438,8 +439,12 @@ def forward_step_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
     q_pos = offsets[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
     cos, sin = rope_cos_sin(q_pos, cfg.rotary_dim, cfg.rope_theta)
     page_size = cache.page_size
+    quant = isinstance(cache, QuantPagedKVCache)
     if use_kernel is None:
-        use_kernel = jax.default_backend() == "tpu" and cfg.logit_softcap == 0.0
+        # the Pallas paged kernel reads raw pool values — quantized pools
+        # take the gather path (scales applied post-dot in _attention)
+        use_kernel = (jax.default_backend() == "tpu"
+                      and cfg.logit_softcap == 0.0 and not quant)
 
     x = params["embed"][tokens].astype(cfg.dtype)
     if cfg.embed_scale != 1.0:  # gemma: sqrt(hidden) on the embedding only
@@ -461,17 +466,30 @@ def forward_step_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
         q = apply_rope(q, cos, sin, cfg.rotary_dim)
         k = apply_rope(k, cos, sin, cfg.rotary_dim)
 
-        lk, lv = write_block_paged(lk, lv, k, v, cache.page_table, offsets,
-                                   page_size)
-        if use_kernel:
-            from specdec_tpu.ops.paged_attention import paged_decode_attention
-            attn = paged_decode_attention(q, lk, lv, cache.page_table,
-                                          offsets, Hk)
-            attn = attn.reshape(B, T, Hq * Dh)
-        else:
-            k_all = gather_pages(lk, cache.page_table)
-            v_all = gather_pages(lv, cache.page_table)
+        if quant:
+            kq, ks, vq, vs = write_block_paged_quant(
+                lk[0], lk[1], lv[0], lv[1], k, v, cache.page_table, offsets,
+                page_size)
+            lk, lv = (kq, ks), (vq, vs)
+            k_all = (gather_pages(kq, cache.page_table),
+                     gather_page_scales(ks, cache.page_table))
+            v_all = (gather_pages(vq, cache.page_table),
+                     gather_page_scales(vs, cache.page_table))
             attn = _attention(cfg, q, k_all, v_all, q_pos, None)
+        else:
+            lk, lv = write_block_paged(lk, lv, k, v, cache.page_table,
+                                       offsets, page_size)
+            if use_kernel:
+                from specdec_tpu.ops.paged_attention import (
+                    paged_decode_attention,
+                )
+                attn = paged_decode_attention(q, lk, lv, cache.page_table,
+                                              offsets, Hk)
+                attn = attn.reshape(B, T, Hq * Dh)
+            else:
+                k_all = gather_pages(lk, cache.page_table)
+                v_all = gather_pages(lv, cache.page_table)
+                attn = _attention(cfg, q, k_all, v_all, q_pos, None)
         attn = _mm(attn, lp["wo"])
         if cfg.attn_out_bias:
             attn = attn + lp["bo"]
@@ -488,7 +506,9 @@ def forward_step_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
         h = (h + attn + mlp) if cfg.parallel_residual else (h + mlp)
         return h, (lk, lv)
 
-    x, (new_k, new_v) = lax.scan(body, x, (params["layers"], cache.k, cache.v))
+    k_in = (cache.k, cache.k_scale) if quant else cache.k
+    v_in = (cache.v, cache.v_scale) if quant else cache.v
+    x, (new_k, new_v) = lax.scan(body, x, (params["layers"], k_in, v_in))
 
     x = _norm(cfg, x, params["final_norm_w"], params.get("final_norm_b"))
     if cfg.tie_embeddings:
@@ -500,6 +520,11 @@ def forward_step_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
         logits = jnp.tanh(logits / cfg.logit_softcap) * cfg.logit_softcap
 
     import dataclasses as _dc
-    new_cache = _dc.replace(cache, k=new_k, v=new_v,
-                            length=cache.length + T)
+    if quant:
+        new_cache = _dc.replace(cache, k=new_k[0], k_scale=new_k[1],
+                                v=new_v[0], v_scale=new_v[1],
+                                length=cache.length + T)
+    else:
+        new_cache = _dc.replace(cache, k=new_k, v=new_v,
+                                length=cache.length + T)
     return logits, new_cache

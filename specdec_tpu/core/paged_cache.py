@@ -59,6 +59,55 @@ class PagedKVCache:
         return self.with_length(jnp.maximum(self.length - n, 0))
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class QuantPagedKVCache:
+    """INT8 paged pool (``cfg.kv_quant = "int8"``): values int8
+    [L, num_pages, Hk, page_size, Dh] with per-(position, head) f32 scales
+    [L, num_pages, Hk, page_size] living in the SAME pages as their values
+    (one page table addresses both, so allocation/prefix-sharing logic is
+    format-blind). Same semantics as core/cache.py::QuantKVCache: dequantized
+    value = q * scale, applied after the dots in _attention — half the pool
+    HBM, so a given pool backs twice the tokens."""
+
+    k: jax.Array
+    v: jax.Array
+    k_scale: jax.Array
+    v_scale: jax.Array
+    page_table: jax.Array
+    length: jax.Array
+
+    @property
+    def page_size(self) -> int:
+        return self.k.shape[3]
+
+    @property
+    def max_pages(self) -> int:
+        return self.page_table.shape[1]
+
+    def with_length(self, length: jax.Array) -> "QuantPagedKVCache":
+        return dataclasses.replace(self, length=length)
+
+    def rolled_back(self, n: jax.Array) -> "QuantPagedKVCache":
+        return self.with_length(jnp.maximum(self.length - n, 0))
+
+
+def paged_view(cache, row: jax.Array, length: jax.Array):
+    """Batch-of-one view over the shared pools: same storage, a single-row
+    page table and length (format-agnostic — scheduler admission uses this)."""
+    return dataclasses.replace(cache, page_table=row[None, :],
+                               length=length[None])
+
+
+def merge_view_storage(cache, view):
+    """Adopt a view's (updated) storage arrays back into the full cache —
+    every field except page_table/length, so it covers both formats."""
+    skip = ("page_table", "length")
+    upd = {f.name: getattr(view, f.name)
+           for f in dataclasses.fields(cache) if f.name not in skip}
+    return dataclasses.replace(cache, **upd)
+
+
 class PageAllocator:
     """Host-side free list over the pool. The device never sees it — only the
     int32 tables it produces."""
@@ -88,15 +137,24 @@ class PageAllocator:
 
 
 def init_paged_cache(cfg, batch_size: int, num_pages: int, page_size: int,
-                     max_pages_per_seq: int, dtype=None) -> PagedKVCache:
-    dtype = dtype or cfg.dtype
+                     max_pages_per_seq: int, dtype=None):
     shape = (cfg.num_layers, num_pages, cfg.num_kv_heads, page_size,
              cfg.head_dim)
+    table = jnp.zeros((batch_size, max_pages_per_seq), jnp.int32)
+    length = jnp.zeros((batch_size,), jnp.int32)
+    if getattr(cfg, "kv_quant", "none") == "int8":
+        return QuantPagedKVCache(
+            k=jnp.zeros(shape, dtype=jnp.int8),
+            v=jnp.zeros(shape, dtype=jnp.int8),
+            k_scale=jnp.zeros(shape[:-1], dtype=jnp.float32),
+            v_scale=jnp.zeros(shape[:-1], dtype=jnp.float32),
+            page_table=table, length=length,
+        )
+    dtype = dtype or cfg.dtype
     return PagedKVCache(
         k=jnp.zeros(shape, dtype=dtype),
         v=jnp.zeros(shape, dtype=dtype),
-        page_table=jnp.zeros((batch_size, max_pages_per_seq), jnp.int32),
-        length=jnp.zeros((batch_size,), jnp.int32),
+        page_table=table, length=length,
     )
 
 
@@ -120,6 +178,30 @@ def write_block_paged(layer_k: jax.Array, layer_v: jax.Array,
     return layer_k, layer_v
 
 
+def write_block_paged_quant(layer_kq, layer_ks, layer_vq, layer_vs,
+                            new_k, new_v, page_table: jax.Array,
+                            offsets: jax.Array, page_size: int):
+    """Quantized write_block_paged: quantize the [B, T, Hk, Dh] blocks
+    per-(position, head) (same math as the slotted cache — bit-identical
+    stored values across layouts) and scatter values + scales through the
+    page table."""
+    from specdec_tpu.core.cache import quantize_kv_block
+
+    kq, ks = quantize_kv_block(new_k)
+    vq, vs = quantize_kv_block(new_v)
+    B, T = new_k.shape[0], new_k.shape[1]
+    for t in range(T):
+        pos = offsets + t
+        page = jnp.take_along_axis(page_table, (pos // page_size)[:, None],
+                                   axis=1)[:, 0]
+        slot = pos % page_size
+        layer_kq = layer_kq.at[page, :, slot].set(kq[:, t])
+        layer_ks = layer_ks.at[page, :, slot].set(ks[:, t])
+        layer_vq = layer_vq.at[page, :, slot].set(vq[:, t])
+        layer_vs = layer_vs.at[page, :, slot].set(vs[:, t])
+    return layer_kq, layer_ks, layer_vq, layer_vs
+
+
 def gather_pages(layer_kv: jax.Array, page_table: jax.Array) -> jax.Array:
     """[num_pages, Hk, page, Dh] + [B, max_pages] → contiguous
     [B, max_pages*page, Hk, Dh] view (XLA reference path / kernel oracle)."""
@@ -127,6 +209,15 @@ def gather_pages(layer_kv: jax.Array, page_table: jax.Array) -> jax.Array:
     NP, Hk, ps, Dh = layer_kv.shape
     gathered = layer_kv[page_table]            # [B, MP, Hk, page, Dh]
     return gathered.transpose(0, 1, 3, 2, 4).reshape(B, MP * ps, Hk, Dh)
+
+
+def gather_page_scales(layer_s: jax.Array, page_table: jax.Array) -> jax.Array:
+    """[num_pages, Hk, page] scales + [B, max_pages] → [B, max_pages*page, Hk]
+    (the layout _attention expects its per-(position, head) scales in)."""
+    B, MP = page_table.shape
+    NP, Hk, ps = layer_s.shape
+    gathered = layer_s[page_table]             # [B, MP, Hk, page]
+    return gathered.transpose(0, 1, 3, 2).reshape(B, MP * ps, Hk)
 
 
 def required_pages(length: int, page_size: int) -> int:

@@ -44,8 +44,8 @@ from specdec_tpu.core.model import forward_step_paged
 def forward_step(cfg, params, tokens, cache):
     """Dispatch on cache type: slotted KVCache or PagedKVCache (the window
     step below is cache-agnostic; the continuous batcher picks the mode)."""
-    from specdec_tpu.core.paged_cache import PagedKVCache
-    if isinstance(cache, PagedKVCache):
+    from specdec_tpu.core.paged_cache import PagedKVCache, QuantPagedKVCache
+    if isinstance(cache, (PagedKVCache, QuantPagedKVCache)):
         return forward_step_paged(cfg, params, tokens, cache)
     return _slotted_forward_step(cfg, params, tokens, cache)
 from specdec_tpu.sampling.processors import GreedyProcessor, LogitsProcessor

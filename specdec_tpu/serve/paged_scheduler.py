@@ -26,7 +26,7 @@ from jax import lax
 from specdec_tpu.core.config import ModelConfig
 from specdec_tpu.core.model import forward_step_paged
 from specdec_tpu.core.paged_cache import (
-    PagedKVCache, PageAllocator, required_pages,
+    PageAllocator, merge_view_storage, paged_view, required_pages,
 )
 from specdec_tpu.engine.batch_engine import BatchState
 from specdec_tpu.sampling.processors import LogitsProcessor
@@ -69,15 +69,12 @@ def _admit_slot_paged(drafter_cfg: ModelConfig, drafter_params,
     d_cache = dataclasses.replace(
         state.d_cache, page_table=put_row(state.d_cache.page_table, d_row))
 
-    # batch-of-one views sharing the pools
-    t_view = PagedKVCache(k=t_cache.k, v=t_cache.v,
-                          page_table=t_row[None, :],
-                          length=cached_len[None])
+    # batch-of-one views sharing the pools (format-agnostic: quantized pools
+    # carry their scale arrays through the same view/merge helpers)
+    t_view = paged_view(t_cache, t_row, cached_len)
     t_logits, t_view = forward_step_paged(target_cfg, target_params,
                                           suffix[None, :], t_view)
-    d_view = PagedKVCache(k=d_cache.k, v=d_cache.v,
-                          page_table=d_row[None, :],
-                          length=cached_len[None])
+    d_view = paged_view(d_cache, d_row, cached_len)
     _, d_view = forward_step_paged(drafter_cfg, drafter_params,
                                    suffix[None, :], d_view)
 
@@ -107,13 +104,11 @@ def _admit_slot_paged(drafter_cfg: ModelConfig, drafter_params,
         prompt_len=put_row(state.prompt_len, prompt_len),
         total_len=put_row(state.total_len, total),
         finished=put_row(state.finished, finished),
-        t_cache=dataclasses.replace(
-            t_cache, k=t_view.k, v=t_view.v,
-            length=put_row(t_cache.length, pos - 1)),
+        t_cache=merge_view_storage(t_cache, t_view).with_length(
+            put_row(t_cache.length, pos - 1)),
         # drafter invariant: covers pos-2 (two-token first draft step)
-        d_cache=dataclasses.replace(
-            d_cache, k=d_view.k, v=d_view.v,
-            length=put_row(d_cache.length, pos - 2)),
+        d_cache=merge_view_storage(d_cache, d_view).with_length(
+            put_row(d_cache.length, pos - 2)),
         accepted=put_row(state.accepted, jnp.int32(0)),
         speculated=put_row(state.speculated, jnp.int32(0)),
     )
