@@ -156,16 +156,23 @@ class VLLMEngineManager:
                 warnings.warn("enable_prefix_caching is only implemented in "
                               "the paged engine; ignored for the EAGLE "
                               "batcher", stacklevel=2)
-        elif self.config.enable_prefix_caching:
-            # vLLM's automatic prefix caching lives in its paged engine;
-            # same here (serve/prefix_cache.py over the paged batcher)
+        elif (self.config.enable_prefix_caching
+              or self.config.max_num_batched_tokens):
+            # vLLM's automatic prefix caching and chunked prefill live in
+            # its paged engine; same here (serve/prefix_cache.py +
+            # prefill_chunk over the paged batcher). max_num_batched_tokens
+            # bounds the tokens one admission slice may forward per step.
             from specdec_tpu.serve.paged_scheduler import (
                 PagedContinuousBatcher,
             )
+            chunk = self.config.max_num_batched_tokens
             self.batcher = PagedContinuousBatcher(
                 drafter["cfg"], drafter["params"],
                 bundle["target"]["cfg"], bundle["target"]["params"],
-                prefix_caching=True, **common)
+                prefix_caching=self.config.enable_prefix_caching,
+                prefill_chunk=(min(chunk, common["max_prompt_len"])
+                               if chunk else None),
+                **common)
         else:
             self.batcher = ContinuousBatcher(
                 drafter["cfg"], drafter["params"],

@@ -114,6 +114,29 @@ def _admit_slot_paged(drafter_cfg: ModelConfig, drafter_params,
     )
 
 
+@partial(jax.jit, static_argnames=("drafter_cfg", "target_cfg"),
+         donate_argnames=("state",))
+def _prefill_chunk(drafter_cfg: ModelConfig, drafter_params,
+                   target_cfg: ModelConfig, target_params,
+                   state: BatchState, chunk: jax.Array, offset: jax.Array,
+                   t_row: jax.Array, d_row: jax.Array) -> BatchState:
+    """One chunked-prefill step: write a [C]-token slice of a pending
+    request's prompt into both pools at ``offset`` (same partial-prefill
+    semantics as _admit_slot_paged — positions come from the view length).
+    Only the pools change; the slot's counters/buffer stay untouched until
+    the FINAL chunk commits tok0 via _admit_slot_paged."""
+    t_view = paged_view(state.t_cache, t_row, offset)
+    _, t_view = forward_step_paged(target_cfg, target_params,
+                                   chunk[None, :], t_view)
+    d_view = paged_view(state.d_cache, d_row, offset)
+    _, d_view = forward_step_paged(drafter_cfg, drafter_params,
+                                   chunk[None, :], d_view)
+    return dataclasses.replace(
+        state,
+        t_cache=merge_view_storage(state.t_cache, t_view),
+        d_cache=merge_view_storage(state.d_cache, d_view))
+
+
 class PagedContinuousBatcher(ContinuousBatcher):
     def __init__(self, drafter_cfg: ModelConfig, drafter_params,
                  target_cfg: ModelConfig, target_params,
@@ -122,6 +145,7 @@ class PagedContinuousBatcher(ContinuousBatcher):
                  page_size: int = 64, pool_tokens: Optional[int] = None,
                  prefix_caching: bool = False,
                  prefill_buckets: Optional[Tuple[int, ...]] = None,
+                 prefill_chunk: Optional[int] = None,
                  **kw):
         super().__init__(drafter_cfg, drafter_params, target_cfg,
                          target_params, num_slots=num_slots, gamma=gamma,
@@ -168,17 +192,27 @@ class PagedContinuousBatcher(ContinuousBatcher):
         self.prefix_caching = prefix_caching
         from specdec_tpu.serve.prefix_cache import PrefixBlockCache
         self.prefix_cache = PrefixBlockCache()
+        # vLLM-style chunked prefill (the native meaning of the reference's
+        # VLLM_MAX_NUM_BATCHED_TOKENS passthrough, ref vllm_engine.py:48):
+        # long prompts prefill in <=prefill_chunk-token slices, ONE slice per
+        # step, so other slots' decode windows interleave with a long
+        # admission instead of stalling behind it.
+        self.prefill_chunk = prefill_chunk
         if prefill_buckets is None:
             P = max_prompt_len
-            if prefix_caching:
-                buckets = sorted({max(page_size, P // 4), P // 2, P})
-                prefill_buckets = tuple(b for b in buckets if b <= P)
+            if prefix_caching or prefill_chunk:
+                cap = min(prefill_chunk or P, P)
+                buckets = sorted({max(page_size, cap // 4), cap // 2, cap})
+                prefill_buckets = tuple(b for b in buckets
+                                        if page_size <= b <= cap) or (cap,)
             else:
                 # without reuse the suffix is always the whole prompt — one
                 # shape, one compile (each bucket costs a TPU compile)
                 prefill_buckets = (P,)
         self.prefill_buckets = tuple(sorted(prefill_buckets))
         self._slot_shared: List[List[int]] = [[] for _ in range(num_slots)]
+        # slot -> [req, block_keys, matched_blocks, prompt_len, offset]
+        self._prefilling: dict = {}
 
     # ------------------------------------------------------------ page mgmt
     def _needed_now(self, length: int) -> int:
@@ -269,8 +303,20 @@ class PagedContinuousBatcher(ContinuousBatcher):
                 self._preempt(slot)
                 changed = True
         if changed:
-            t_tbl = jnp.stack([self._table_row(p) for p in self._slot_pages_t])
-            d_tbl = jnp.stack([self._table_row(p) for p in self._slot_pages_d])
+            # PREFILLING slots keep an all-garbage device row until their
+            # final admit installs the real one: they are finished=True
+            # while pending, and a finished slot's masked window writes
+            # scatter through its device row — a real row here would let
+            # those writes corrupt the half-prefilled pages (the chunk
+            # programs address the pages via their own explicit row)
+            def row(slot, pages):
+                if slot in self._prefilling:
+                    return self._table_row([])
+                return self._table_row(pages)
+            t_tbl = jnp.stack([row(s, p)
+                               for s, p in enumerate(self._slot_pages_t)])
+            d_tbl = jnp.stack([row(s, p)
+                               for s, p in enumerate(self._slot_pages_d)])
             self.state = dataclasses.replace(
                 self.state,
                 t_cache=dataclasses.replace(self.state.t_cache,
@@ -302,9 +348,10 @@ class PagedContinuousBatcher(ContinuousBatcher):
         avail = min(len(self._alloc_t.free), len(self._alloc_d.free))
         return need - m <= avail + self.prefix_cache.evictable
 
-    def _admit(self, slot: int, req: Request, sync: bool = True):
-        P = self.max_prompt_len
-        n = min(len(req.prompt_ids), P)
+    def _begin_admit(self, slot: int, req: Request):
+        """Acquire prefix blocks + allocate pages for the whole prompt, and
+        mark the slot prefilling (offset starts past the cached prefix)."""
+        n = min(len(req.prompt_ids), self.max_prompt_len)
         need = self._needed_now(n + 1)
         keys: List[int] = []
         m = 0
@@ -325,18 +372,37 @@ class PagedContinuousBatcher(ContinuousBatcher):
         self._slot_pages_d[slot] = ([h[1] for h in hits]
                                     + self._alloc(self._alloc_d, owner_d,
                                                   need - m))
+        self._prefilling[slot] = [req, keys, m, n, m * self.page_size]
 
-        cached_len = m * self.page_size
-        suffix_len = n - cached_len
-        bucket = next((b for b in self.prefill_buckets if b >= suffix_len), P)
+    def _advance_prefill(self, slot: int) -> bool:
+        """Run ONE prefill slice for a pending slot. Non-final slices only
+        touch the pools (_prefill_chunk); the final slice is the normal
+        partial-prefill admission (commits tok0, installs counters). Returns
+        True when the slot became active."""
+        req, keys, m, n, offset = self._prefilling[slot]
+        P = self.max_prompt_len
+        chunk = self.prefill_chunk or P
+        remaining = n - offset
+        if remaining > chunk:
+            tok = np.asarray(req.prompt_ids[offset:offset + chunk], np.int32)
+            self.state = _prefill_chunk(
+                self.drafter_cfg, self.drafter_params, self.target_cfg,
+                self.target_params, self.state, jnp.asarray(tok),
+                jnp.int32(offset),
+                self._table_row(self._slot_pages_t[slot]),
+                self._table_row(self._slot_pages_d[slot]))
+            self._prefilling[slot][4] = offset + chunk
+            return False
+
+        bucket = next((b for b in self.prefill_buckets if b >= remaining), P)
         prompt = np.zeros((P,), np.int32)
         prompt[:n] = req.prompt_ids[:n]
         suffix = np.zeros((bucket,), np.int32)
-        suffix[:suffix_len] = req.prompt_ids[cached_len:n]
+        suffix[:remaining] = req.prompt_ids[offset:n]
         self.state = _admit_slot_paged(
             self.drafter_cfg, self.drafter_params, self.target_cfg,
             self.target_params, self.state, jnp.int32(slot), jnp.asarray(prompt),
-            jnp.asarray(suffix), jnp.int32(cached_len),
+            jnp.asarray(suffix), jnp.int32(offset),
             jnp.int32(n), jnp.int32(req.max_new_tokens),
             self._table_row(self._slot_pages_t[slot]),
             self._table_row(self._slot_pages_d[slot]),
@@ -344,6 +410,8 @@ class PagedContinuousBatcher(ContinuousBatcher):
         if self.prefix_caching:
             # hand the freshly prefilled full prompt blocks to the cache
             # (refcount 1, held by this slot until release)
+            owner_t = ("t", slot, req.request_id)
+            owner_d = ("d", slot, req.request_id)
             for i in range(m, n // self.page_size):
                 tp = self._slot_pages_t[slot][i]
                 dp = self._slot_pages_d[slot][i]
@@ -351,10 +419,17 @@ class PagedContinuousBatcher(ContinuousBatcher):
                     self._alloc_t.disown(owner_t, tp)
                     self._alloc_d.disown(owner_d, dp)
                     self._slot_shared[slot].append(keys[i])
+        del self._prefilling[slot]
         self.slot_req[slot] = req
         from specdec_tpu.engine.metrics import RequestMetrics
         req.metrics = RequestMetrics(prompt_tokens=n,
                                      start_time=req.submit_time)
+        return True
+
+    def _admit(self, slot: int, req: Request, sync: bool = True):
+        self._begin_admit(slot, req)
+        while not self._advance_prefill(slot):
+            pass
         # TTFT stamps at the admission prefill that commits tok0 (see
         # ContinuousBatcher._stamp_admissions); bursts share one sync
         if sync:
@@ -371,14 +446,31 @@ class PagedContinuousBatcher(ContinuousBatcher):
 
     def step(self):
         admitted = []
+        # one prefill slice per pending slot per step: decode windows below
+        # interleave with long admissions instead of stalling behind them
+        for slot in list(self._prefilling):
+            if self._advance_prefill(slot):
+                admitted.append(slot)
         for slot in range(self.B):
-            if self.slot_req[slot] is None and self.queue:
-                if self._can_admit(self.queue[0]):
-                    self._admit(slot, self.queue.pop(0), sync=False)
+            if (self.slot_req[slot] is None and slot not in self._prefilling
+                    and self.queue and self._can_admit(self.queue[0])):
+                req = self.queue.pop(0)
+                if self.prefill_chunk is None:
+                    self._admit(slot, req, sync=False)
                     admitted.append(slot)
+                else:
+                    self._begin_admit(slot, req)
+                    if self._advance_prefill(slot):  # short prompt: done now
+                        admitted.append(slot)
         if admitted:
             self._stamp_admissions(admitted)
         if all(r is None for r in self.slot_req):
-            return False
+            return bool(self._prefilling)
         self._top_up()
         return super()._window_and_harvest()
+
+    def run(self):
+        while (self.queue or self._prefilling
+               or any(r is not None for r in self.slot_req)):
+            self.step()
+        return self.completed
