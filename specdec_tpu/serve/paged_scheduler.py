@@ -159,7 +159,8 @@ class PagedContinuousBatcher(ContinuousBatcher):
         # one full dispatch horizon (windows_per_sync windows can each
         # commit gamma+1 tokens before the next top-up) — sizing it from S
         # alone made _table_row overflow near the end of generation
-        horizon = self.windows_per_sync * (self.gamma + 1) + 1
+        # width sized for the LARGEST gamma auto-retuning may reach
+        horizon = self.windows_per_sync * (self.auto_gamma_max + 1) + 1
         self.max_pages_per_seq = required_pages(self.S + horizon,
                                                 page_size) + 1
         self.num_pages = max(required_pages(pool_tokens, page_size),

@@ -120,11 +120,34 @@ class ContinuousBatcher:
                  eos_tokens_id=(), pad_token_id: int = 0,
                  skip_sample_adjustment: bool = False,
                  windows_per_sync: int = 1,
+                 auto_gamma: bool = False,
+                 auto_gamma_max: int = 16,
+                 auto_gamma_min_drafts: int = 256,
+                 gamma_cost_ratio: Optional[float] = None,
+                 gamma_window_overhead: float = 0.57,
                  key: Optional[jax.Array] = None):
         self.drafter_cfg, self.drafter_params = drafter_cfg, drafter_params
         self.target_cfg, self.target_params = target_cfg, target_params
         self.B = num_slots
         self.gamma = gamma
+        # runtime gamma adaptation: after auto_gamma_min_drafts measured
+        # drafts, invert the observed acceptance metric to a per-draft
+        # conditional and re-jit the window at the model's best gamma
+        # (engine/gamma_tuner.py — the reference leaves gamma to hand-tuning,
+        # ref configs/performance_config.sh:28). Each switch costs one
+        # compile, so switches are bounded and hysteresis-gated.
+        self.auto_gamma = auto_gamma
+        self.auto_gamma_max = auto_gamma_max if auto_gamma else gamma
+        self.auto_gamma_min_drafts = auto_gamma_min_drafts
+        self.gamma_cost_ratio = (
+            gamma_cost_ratio
+            if gamma_cost_ratio is not None
+            else drafter_cfg.num_layers / max(1, target_cfg.num_layers))
+        # measured fixed per-window dispatch overhead in AR-step units
+        # (docs/BENCHMARKS.md gamma-advisory calibration)
+        self.gamma_window_overhead = gamma_window_overhead
+        self._auto_drafts = [0, 0]  # accepted, speculated since last retune
+        self._gamma_switches = 0
         self.max_prompt_len = max_prompt_len
         self.default_max_new = max_new_tokens
         self.processor = logits_processor or GreedyProcessor()
@@ -137,7 +160,8 @@ class ContinuousBatcher:
         self.key = key if key is not None else jax.random.key(0)
         self._key_ctr = 0
 
-        S = max_prompt_len + max_new_tokens + gamma + 2
+        # slack covers the largest window a retune may reach
+        S = max_prompt_len + max_new_tokens + self.auto_gamma_max + 2
         self.S = S
         # empty state: all slots finished until admitted
         self.state = BatchState(
@@ -224,8 +248,32 @@ class ContinuousBatcher:
         m.drafts_generated = int(speculated[slot])
         m.acceptance_rate = (m.drafts_accepted / m.drafts_generated
                              if m.drafts_generated > 0 else 0.0)
+        if self.auto_gamma:
+            self._auto_drafts[0] += m.drafts_accepted
+            self._auto_drafts[1] += m.drafts_generated
         self.completed[req.request_id] = req
         self.slot_req[slot] = None
+
+    def _maybe_retune_gamma(self):
+        """Re-jit the window at the advisory's best gamma once enough drafts
+        are measured. Hysteresis: only switch for a >=5% predicted gain, and
+        at most twice per batcher lifetime (a switch = one TPU compile)."""
+        acc, spec = self._auto_drafts
+        if spec < self.auto_gamma_min_drafts or self._gamma_switches >= 2:
+            return
+        from specdec_tpu.engine.gamma_tuner import (
+            best_gamma, conditional_from_reference_rate, expected_speedup,
+        )
+        a = conditional_from_reference_rate(acc / spec, self.gamma)
+        g, s = best_gamma(a, self.gamma_cost_ratio,
+                          self.gamma_window_overhead,
+                          max_gamma=self.auto_gamma_max)
+        cur = expected_speedup(a, self.gamma, self.gamma_cost_ratio,
+                               self.gamma_window_overhead)
+        self._auto_drafts = [0, 0]
+        if g != self.gamma and s > 1.05 * cur:
+            self.gamma = g
+            self._gamma_switches += 1
 
     def step(self):
         """Fill free slots from the queue, then run one spec window."""
@@ -270,6 +318,8 @@ class ContinuousBatcher:
                     self._slot_first_token[slot] = now
                 if finished[slot]:
                     self._harvest(slot, buf, pos, plen, accepted, speculated)
+        if self.auto_gamma:
+            self._maybe_retune_gamma()
         return True
 
     def run(self) -> Dict[int, Request]:
