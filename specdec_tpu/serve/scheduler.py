@@ -180,6 +180,16 @@ class ContinuousBatcher:
     def _init_host_state(self):
         """Queue/slot bookkeeping shared by every batcher flavor (the NASD
         and EAGLE subclasses build their own device state but reuse this)."""
+        # auto-gamma defaults for subclasses whose __init__ doesn't plumb the
+        # option (they still share _window_and_harvest, which consults these)
+        if not hasattr(self, "auto_gamma"):
+            self.auto_gamma = False
+            self.auto_gamma_max = getattr(self, "gamma", 4)
+            self.auto_gamma_min_drafts = 256
+            self.gamma_cost_ratio = 1.0
+            self.gamma_window_overhead = 0.57
+            self._auto_drafts = [0, 0]
+            self._gamma_switches = 0
         self.queue: List[Request] = []
         self.slot_req: List[Optional[Request]] = [None] * self.B
         self._slot_first_token: List[Optional[float]] = [None] * self.B
