@@ -66,6 +66,9 @@ class BatchState:
     t_cache: KVCache
     accepted: jax.Array   # [B] int32
     speculated: jax.Array # [B] int32
+    # optional per-slot (temperature, top_k, top_p) [B, 3] f32 — consumed by
+    # PerSlotProcessor for per-request sampling in serving; None = uniform
+    samp: Optional[jax.Array] = None
 
 
 @jax.jit
@@ -109,7 +112,7 @@ def batch_prefill(drafter_cfg: Optional[ModelConfig], drafter_params,
                   gen_len: int, gamma: int,
                   processor: LogitsProcessor, first_target: bool,
                   use_drafter: bool, eos_ids: Tuple[int, ...],
-                  key: jax.Array) -> BatchState:
+                  key: jax.Array, samp=None) -> BatchState:
     """Prefill both models on right-padded prompts; optionally commit the
     first token from the target (ref first_target, sampling/speculative_decoding.py:84-103)."""
     B, P = prompts.shape
@@ -133,10 +136,9 @@ def batch_prefill(drafter_cfg: Optional[ModelConfig], drafter_params,
     if first_target:
         last = jnp.take_along_axis(t_logits, (prompt_lens - 1)[:, None, None],
                                    axis=1)[:, 0]            # [B, V]
-        p0 = processor(last)
+        p0 = processor.batched(last, samp)
         keys = jax.random.split(key, B)
-        tok0 = jax.vmap(lambda pi, ki: processor.sample(pi, ki))(p0, keys)
-        tok0 = tok0.astype(jnp.int32)
+        tok0 = processor.sample_batched(p0, keys, samp).astype(jnp.int32)
         buf = jax.vmap(lambda row, t, o: lax.dynamic_update_slice(row, t[None], (o,))
                        )(buf, tok0, prompt_lens)
         pos = prompt_lens + 1
@@ -155,7 +157,7 @@ def batch_prefill(drafter_cfg: Optional[ModelConfig], drafter_params,
     return BatchState(buf=buf, pos=pos, prompt_len=prompt_lens,
                       total_len=total_len, finished=finished,
                       d_cache=d_cache, t_cache=t_cache,
-                      accepted=zeros, speculated=zeros)
+                      accepted=zeros, speculated=zeros, samp=samp)
 
 
 def _spec_window_body(drafter_cfg: ModelConfig, drafter_params,
@@ -179,19 +181,17 @@ def _spec_window_body(drafter_cfg: ModelConfig, drafter_params,
         first_tok], axis=1)                                  # [B, 2]
     logits2, d_cache = forward_step(drafter_cfg, drafter_params, prev2,
                                     state.d_cache)
-    q0 = processor(logits2[:, 1])                            # [B, V]
+    q0 = processor.batched(logits2[:, 1], state.samp)        # [B, V]
     keys0 = jax.random.split(jax.random.fold_in(k_draft, 0), B)
-    x0 = jax.vmap(lambda qi, ki: processor.sample(qi, ki))(q0, keys0)
-    x0 = x0.astype(jnp.int32)
+    x0 = processor.sample_batched(q0, keys0, state.samp).astype(jnp.int32)
 
     def draft_step(carry, i):
         cache, prev = carry
         logits, cache = forward_step(drafter_cfg, drafter_params,
                                      prev[:, None], cache)
-        q = processor(logits[:, 0])                         # [B, V]
+        q = processor.batched(logits[:, 0], state.samp)     # [B, V]
         keys = jax.random.split(jax.random.fold_in(k_draft, i), B)
-        x = jax.vmap(lambda qi, ki: processor.sample(qi, ki))(q, keys)
-        x = x.astype(jnp.int32)
+        x = processor.sample_batched(q, keys, state.samp).astype(jnp.int32)
         return (cache, x), (q, x)
 
     (d_cache, _), (q_rest, drafts_rest) = lax.scan(
@@ -204,7 +204,7 @@ def _spec_window_body(drafter_cfg: ModelConfig, drafter_params,
     t_in = jnp.concatenate([first_tok[:, None], drafts], axis=1)  # [B, gamma+1]
     t_logits, t_cache = forward_step(target_cfg, target_params, t_in,
                                      state.t_cache)
-    p_all = processor(t_logits)                             # [B, gamma+1, V]
+    p_all = processor.batched(t_logits, state.samp)         # [B, gamma+1, V]
 
     # --- vectorized acceptance --------------------------------------------
     r = jax.random.uniform(k_accept, (B, gamma))
@@ -226,8 +226,8 @@ def _spec_window_body(drafter_cfg: ModelConfig, drafter_params,
         resample_dist = jnp.where(has_mass, residual, p_n)
     next_dist = jnp.where((n == gamma)[:, None], p_n, resample_dist)
     keys = jax.random.split(k_resample, B)
-    next_tok = jax.vmap(lambda pi, ki: processor.sample(pi, ki))(next_dist, keys)
-    next_tok = next_tok.astype(jnp.int32)
+    next_tok = processor.sample_batched(next_dist, keys,
+                                        state.samp).astype(jnp.int32)
 
     # --- commit ------------------------------------------------------------
     cand = jnp.where(idxg[None, :] < n[:, None], drafts, 0)
@@ -318,9 +318,8 @@ def batch_ar_step(target_cfg: ModelConfig, target_params, state: BatchState,
     logits, t_cache = forward_step(target_cfg, target_params, last[:, None],
                                    state.t_cache)
     keys = jax.random.split(key, B)
-    tok = jax.vmap(lambda li, ki: processor.sample_from_logits(li, ki))(
-        logits[:, 0], keys)
-    tok = tok.astype(jnp.int32)
+    tok = processor.sample_from_logits_batched(
+        logits[:, 0], keys, state.samp).astype(jnp.int32)
 
     advance = jnp.where(state.finished | (state.pos >= state.total_len), 0, 1)
     buf = jax.vmap(lambda row, t, o: lax.dynamic_update_slice(row, t[None], (o,))

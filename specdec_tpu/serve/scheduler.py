@@ -45,6 +45,12 @@ class Request:
     prompt_ids: List[int]
     max_new_tokens: int
     submit_time: float = 0.0
+    # per-request sampling params (honored when the batcher was built with
+    # per_request_sampling=True; vLLM SamplingParams-style, temperature<=1e-5
+    # means greedy). None = engine defaults.
+    temperature: Optional[float] = None
+    top_k: Optional[int] = None
+    top_p: Optional[float] = None
     # filled at completion
     output_ids: Optional[List[int]] = None
     metrics: Optional[RequestMetrics] = None

@@ -71,7 +71,7 @@ def measure_ttft(cfg, target, prompt, proc, reps=3):
                                 key=jax.random.key(2 + i))
         times.append(time.time() - t0)
     ttft = min(times) * 1000
-    log(f"TTFT (prompt 60, gen 1): {ttft:.0f} ms")
+    log(f"TTFT (prompt {len(prompt)}, gen 1): {ttft:.0f} ms")
     return ttft
 
 
@@ -86,40 +86,53 @@ def main():
     ap.add_argument("--gen", type=int, default=256)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--draft-layers", type=int, default=DRAFT_LAYERS)
+    ap.add_argument("--attn", default="xla",
+                    help="comma list of attention impls (xla,flash) for the "
+                         "8B flash-crossover A/B: at 8B+long S the KV stream "
+                         "per weight byte is 4x the 1.1B ratio, the regime "
+                         "where the length-aware flash kernel was predicted "
+                         "to cross over; the pair is built once and swept")
+    ap.add_argument("--prompt-len", type=int, default=60)
     args = ap.parse_args()
     DRAFT_LAYERS = args.draft_layers
     modes = args.modes.split(",")
-    log(f"backend={jax.default_backend()} modes={modes} gamma={args.gamma}")
+    log(f"backend={jax.default_backend()} modes={modes} gamma={args.gamma} "
+        f"attn={args.attn} prompt_len={args.prompt_len}")
 
     proc = MultinomialProcessor(temperature=1.0)
     rows = []
     for mode in modes:
         log(f"=== 8B mode {mode} ===")
-        cfg, d_cfg, target, drafter = build_8b(mode)
+        cfg0, d_cfg0, target, drafter = build_8b(mode)
         rng = np.random.default_rng(0)
-        prompt = [int(t) for t in rng.integers(1, cfg.vocab_size, size=60)]
-        ttft = measure_ttft(cfg, target, prompt, proc)
-        ar_tps = measure_ar(cfg, target, prompt, args.gen, proc,
-                            reps=args.reps)
-        for gamma in (int(g) for g in str(args.gamma).split(",")):
-            spec_tps, acc = measure_spec(d_cfg, drafter, cfg, target, prompt,
-                                         args.gen, gamma, proc,
-                                         reps=args.reps)
-            ratio = spec_tps / ar_tps if ar_tps else 0.0
-            rows.append((f"{mode}/g{gamma}", ar_tps, spec_tps, acc, ratio,
-                         ttft))
-            log(f"8B {mode} gamma={gamma}: AR {ar_tps:.1f} "
-                f"spec {spec_tps:.1f} ({ratio:.2f}x, acc {acc:.3f}), "
-                f"TTFT {ttft:.0f} ms")
+        prompt = [int(t) for t in
+                  rng.integers(1, cfg0.vocab_size, size=args.prompt_len)]
+        for attn in args.attn.split(","):
+            cfg = cfg0.replace(attention_impl=attn)
+            d_cfg = d_cfg0.replace(attention_impl=attn)
+            ttft = measure_ttft(cfg, target, prompt, proc)
+            ar_tps = measure_ar(cfg, target, prompt, args.gen, proc,
+                                reps=args.reps)
+            for gamma in (int(g) for g in str(args.gamma).split(",")):
+                spec_tps, acc = measure_spec(d_cfg, drafter, cfg, target,
+                                             prompt, args.gen, gamma, proc,
+                                             reps=args.reps)
+                ratio = spec_tps / ar_tps if ar_tps else 0.0
+                rows.append((f"{mode}/{attn}/g{gamma}", ar_tps, spec_tps, acc,
+                             ratio, ttft))
+                log(f"8B {mode} attn={attn} gamma={gamma}: AR {ar_tps:.1f} "
+                    f"spec {spec_tps:.1f} ({ratio:.2f}x, acc {acc:.3f}), "
+                    f"TTFT {ttft:.0f} ms")
         del target, drafter
 
     log("\n=== 8B summary (gen=%d, drafter %dL) ===" % (args.gen, DRAFT_LAYERS))
-    log(f"{'mode':6} {'AR tok/s':>9} {'spec tok/s':>11} {'accept':>7} "
+    log(f"{'mode':16} {'AR tok/s':>9} {'spec tok/s':>11} {'accept':>7} "
         f"{'spec/AR':>8} {'TTFT ms':>8}")
     for m, a, s, c, r, t in rows:
-        log(f"{m:6} {a:9.1f} {s:11.1f} {c:7.3f} {r:8.2f} {t:8.0f}")
+        log(f"{m:16} {a:9.1f} {s:11.1f} {c:7.3f} {r:8.2f} {t:8.0f}")
     print(json.dumps([
-        {"model": "llama-8b-synthetic", "mode": m, "ar_tps": round(a, 1),
+        {"model": "llama-8b-synthetic", "attn": args.attn,
+         "prompt_len": args.prompt_len, "mode": m, "ar_tps": round(a, 1),
          "spec_tps": round(s, 1), "acceptance": round(c, 3),
          "spec_over_ar": round(r, 3), "ttft_ms": round(t)}
         for m, a, s, c, r, t in rows]))
