@@ -280,7 +280,13 @@ class PagedContinuousBatcher(ContinuousBatcher):
         exceeds the pool, which is a sizing error and raises."""
         changed = self._tables_dirty
         self._tables_dirty = False
-        pos = np.asarray(self.state.pos)
+        # host-mirrored positions (scheduler._host_pos): exact here because
+        # every path that advances pos before this point also syncs — windows
+        # refresh it at harvest, admissions at the TTFT stamp. Pulling
+        # state.pos from the device instead cost one extra ~35-81 ms RPC
+        # round-trip per step on the tunneled backend (measured: the paged
+        # batcher trailed the slotted one partly on this).
+        pos = self._host_pos
         for slot in range(self.B):
             req = self.slot_req[slot]
             if req is None:

@@ -201,6 +201,13 @@ class ContinuousBatcher:
         self._slot_first_token: List[Optional[float]] = [None] * self.B
         self.completed: Dict[int, Request] = {}
         self._next_id = 0
+        # host mirror of state.pos, refreshed by every host sync that already
+        # materializes it (admission stamp, window harvest). Consumers that
+        # need positions between syncs (paged page top-up) read this instead
+        # of pulling the device array — a pull is ~35-81 ms on the tunneled
+        # backend (CLAUDE.md) and was costing the paged batcher one extra
+        # round-trip EVERY step.
+        self._host_pos = np.zeros((self.B,), np.int64)
 
     # ------------------------------------------------------------------ API
     def submit(self, prompt_ids: Sequence[int],
@@ -241,7 +248,7 @@ class ContinuousBatcher:
         next host sync can be many windows later; round-1 stamped there and
         overstated TTFT — VERDICT weak #9). Batched: a burst of admissions
         shares ONE sync instead of paying an RPC round-trip each."""
-        _ = np.asarray(self.state.pos)
+        self._host_pos[:] = np.asarray(self.state.pos)
         now = time.time()
         for slot in slots:
             self._slot_first_token[slot] = now
@@ -328,6 +335,7 @@ class ContinuousBatcher:
         from specdec_tpu.engine.batch_engine import _pack_state, _unpack_state
         buf, pos, plen, accepted, speculated, finished = _unpack_state(
             np.asarray(_pack_state(self.state)))
+        self._host_pos[:] = pos
         for slot in range(self.B):
             if self.slot_req[slot] is not None:
                 if self._slot_first_token[slot] is None:
