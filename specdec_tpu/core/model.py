@@ -441,10 +441,8 @@ def forward_step_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
     page_size = cache.page_size
     quant = isinstance(cache, QuantPagedKVCache)
     if use_kernel is None:
-        # the Pallas paged kernel reads raw pool values — quantized pools
-        # take the gather path (scales applied post-dot in _attention)
         use_kernel = (jax.default_backend() == "tpu"
-                      and cfg.logit_softcap == 0.0 and not quant)
+                      and cfg.logit_softcap == 0.0)
 
     x = params["embed"][tokens].astype(cfg.dtype)
     if cfg.embed_scale != 1.0:  # gemma: sqrt(hidden) on the embedding only
@@ -471,11 +469,19 @@ def forward_step_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
                 lk[0], lk[1], lv[0], lv[1], k, v, cache.page_table, offsets,
                 page_size)
             lk, lv = (kq, ks), (vq, vs)
-            k_all = (gather_pages(kq, cache.page_table),
-                     gather_page_scales(ks, cache.page_table))
-            v_all = (gather_pages(vq, cache.page_table),
-                     gather_page_scales(vs, cache.page_table))
-            attn = _attention(cfg, q, k_all, v_all, q_pos, None)
+            if use_kernel:
+                from specdec_tpu.ops.paged_attention import (
+                    paged_decode_attention_quant,
+                )
+                attn = paged_decode_attention_quant(
+                    q, kq, ks, vq, vs, cache.page_table, offsets, Hk)
+                attn = attn.reshape(B, T, Hq * Dh)
+            else:
+                k_all = (gather_pages(kq, cache.page_table),
+                         gather_page_scales(ks, cache.page_table))
+                v_all = (gather_pages(vq, cache.page_table),
+                         gather_page_scales(vs, cache.page_table))
+                attn = _attention(cfg, q, k_all, v_all, q_pos, None)
         else:
             lk, lv = write_block_paged(lk, lv, k, v, cache.page_table,
                                        offsets, page_size)

@@ -131,3 +131,125 @@ def paged_decode_attention(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
 
     out = out[:, :, :TG].reshape(B, Hk, T, G, Dh).transpose(0, 2, 1, 3, 4)
     return out.reshape(B, T, Hq, Dh)
+
+
+def _kernel_quant(tbl_ref, off_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref,
+                  o_ref, m_ref, l_ref, acc_ref, *, G: int, page: int, T: int,
+                  scale: float):
+    """INT8-pool variant: K/V tiles arrive int8 with per-(position, head) f32
+    scales; k-scales multiply the scores after the q·k dot and v-scales fold
+    into the probabilities — the same scale-after-dot order as the XLA path
+    (core/model.py::_attention), so no dequantized tile is materialized."""
+    b = pl.program_id(0)
+    p = pl.program_id(2)
+    np_ = pl.num_programs(2)
+    last = (off_ref[b] + (T - 1)) // page
+
+    @pl.when(p == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(p <= last)
+    def _():
+        q = q_ref[0, 0]                          # [TGp, Dh]
+        k = k_ref[0, 0].astype(q.dtype)          # [page, Dh] int8 -> compute
+        v = v_ref[0, 0].astype(q.dtype)
+        ks = ks_ref[0, 0, 0]                     # [page] f32
+        vs = vs_ref[0, 0, 0]
+
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale      # [TGp, page]
+        scores = scores * ks[None, :]
+
+        TGp = q.shape[0]
+        row = jax.lax.broadcasted_iota(jnp.int32, (TGp, page), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (TGp, page), 1)
+        q_pos = off_ref[b] + row // G
+        k_pos = p * page + col
+        scores = jnp.where(k_pos <= q_pos, scores, _NEG_INF)
+
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        pr = jnp.exp(scores - m_new)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(pr, axis=-1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            (pr * vs[None, :]).astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_ref[:] = m_new
+
+    @pl.when(p == np_ - 1)
+    def _():
+        o_ref[0, 0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-38)
+                       ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_kv_heads",))
+def paged_decode_attention_quant(q: jax.Array,
+                                 k_pool: jax.Array, k_scale: jax.Array,
+                                 v_pool: jax.Array, v_scale: jax.Array,
+                                 page_table: jax.Array, offsets: jax.Array,
+                                 num_kv_heads: int) -> jax.Array:
+    """paged_decode_attention over INT8 pools (QuantPagedKVCache): pools are
+    int8 [num_pages, Hk, page, Dh] with f32 scales [num_pages, Hk, page].
+    Scale blocks ride the same page-table indirection as their values —
+    reshaped to [NP, Hk, 1, page] so each (1, 1, 1, page) block's trailing
+    dims EQUAL the array dims (the Mosaic tiling rule a (1, page) tail of a
+    3D layout would violate; same constraint as the head-major pools)."""
+    B, T, Hq, Dh = q.shape
+    page = k_pool.shape[2]
+    Hk = num_kv_heads
+    G = Hq // Hk
+    TG = T * G
+    TGp = max(8, ((TG + 7) // 8) * 8)
+    MP = page_table.shape[1]
+    scale = 1.0 / (Dh ** 0.5)
+
+    qr = q.reshape(B, T, Hk, G, Dh).transpose(0, 2, 1, 3, 4).reshape(
+        B, Hk, TG, Dh)
+    if TGp != TG:
+        qr = jnp.pad(qr, ((0, 0), (0, 0), (0, TGp - TG), (0, 0)))
+    ks = k_scale[:, :, None, :]                  # [NP, Hk, 1, page]
+    vs = v_scale[:, :, None, :]
+
+    def _kv_index(b, h, p, tbl, off):
+        last = (off[b] + (T - 1)) // page
+        return (tbl[b, jnp.minimum(p, last)], h, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, Hk, MP),
+        in_specs=[
+            pl.BlockSpec((1, 1, TGp, Dh),
+                         lambda b, h, p, tbl, off: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, page, Dh), _kv_index,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, page), _kv_index,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, page, Dh), _kv_index,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, page), _kv_index,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, TGp, Dh),
+                               lambda b, h, p, tbl, off: (b, h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((TGp, 1), jnp.float32),
+            pltpu.VMEM((TGp, 1), jnp.float32),
+            pltpu.VMEM((TGp, Dh), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel_quant, G=G, page=page, T=T, scale=scale),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hk, TGp, Dh), q.dtype),
+    )(page_table.astype(jnp.int32), offsets.astype(jnp.int32),
+      qr, k_pool, ks, v_pool, vs)
+
+    out = out[:, :, :TG].reshape(B, Hk, T, G, Dh).transpose(0, 2, 1, 3, 4)
+    return out.reshape(B, T, Hq, Dh)

@@ -91,3 +91,74 @@ def test_prefix_caching_over_int8_pool():
     for ra, rb in zip(ids_a, ids_b):
         assert done_a[ra].output_ids == done_b[rb].output_ids
     assert pref.prefix_cache.hit_tokens == 2 * 16
+
+
+def test_quant_paged_kernel_matches_gather_oracle():
+    """paged_decode_attention_quant (interpret mode) vs the gathered
+    scale-after-dot XLA path — both decode (T=1) and verify (T=3) shapes,
+    with mostly-dead pages on one sequence (length-aware clamp)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from specdec_tpu.core.model import _attention
+    from specdec_tpu.core.paged_cache import gather_page_scales, gather_pages
+    from specdec_tpu.ops.paged_attention import paged_decode_attention_quant
+
+    B, Hq, Hk, Dh = 2, 4, 2, 8
+    NP, MP = 11, 4
+    rng = np.random.default_rng(7)
+    pool_k = jnp.asarray(
+        rng.integers(-127, 128, size=(NP, Hk, PAGE, Dh)).astype(np.int8))
+    pool_v = jnp.asarray(
+        rng.integers(-127, 128, size=(NP, Hk, PAGE, Dh)).astype(np.int8))
+    ks = jnp.asarray(rng.uniform(0.001, 0.03, size=(NP, Hk, PAGE))
+                     .astype(np.float32))
+    vs = jnp.asarray(rng.uniform(0.001, 0.03, size=(NP, Hk, PAGE))
+                     .astype(np.float32))
+    table = jnp.asarray(
+        rng.permutation(NP - 1)[:B * MP].reshape(B, MP).astype(np.int32) + 1)
+    cfg = tiny_config(num_heads=Hq, num_kv_heads=Hk, head_dim=Dh,
+                      hidden_size=Hq * Dh, intermediate_size=Hq * Dh,
+                      kv_quant="int8")
+
+    for T, offsets in ((1, [13, 27]), (3, [5, 20]), (3, [0, 2 * PAGE])):
+        q = jnp.asarray(rng.normal(size=(B, T, Hq, Dh)).astype(np.float32))
+        off = jnp.asarray(offsets, jnp.int32)
+        k_all = (gather_pages(pool_k, table), gather_page_scales(ks, table))
+        v_all = (gather_pages(pool_v, table), gather_page_scales(vs, table))
+        q_pos = off[:, None] + jnp.arange(T)[None, :]
+        ref = _attention(cfg, q, k_all, v_all, q_pos, None)
+        with pltpu.force_tpu_interpret_mode():
+            got = paged_decode_attention_quant(q, pool_k, ks, pool_v, vs,
+                                               table, off, Hk)
+        np.testing.assert_allclose(
+            np.asarray(got.reshape(B, T, Hq * Dh)), np.asarray(ref),
+            rtol=3e-5, atol=3e-5)
+
+
+def test_quant_paged_forward_kernel_matches_gather_path():
+    """forward_step_paged with use_kernel=True (interpret mode) must equal
+    the gather path logits on an int8 pool — the serving decode/verify
+    integration of the quant kernel."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, MAXP = 2, 4
+    rng = np.random.default_rng(9)
+    tokens = jnp.asarray(rng.integers(0, VOCAB, size=(B, 9)).astype(np.int32))
+    import dataclasses
+    mk = lambda: dataclasses.replace(
+        init_paged_cache(CFG, B, num_pages=1 + B * MAXP, page_size=PAGE,
+                         max_pages_per_seq=MAXP),
+        page_table=_seq_table(B, MAXP))
+    ref_l, ref_c = forward_step_paged(CFG, TARGET, tokens[:, :6], mk(),
+                                      use_kernel=False)
+    with pltpu.force_tpu_interpret_mode():
+        got_l, got_c = forward_step_paged(CFG, TARGET, tokens[:, :6], mk(),
+                                          use_kernel=True)
+    np.testing.assert_allclose(np.asarray(got_l), np.asarray(ref_l),
+                               rtol=2e-4, atol=2e-4)
+    ref_l, _ = forward_step_paged(CFG, TARGET, tokens[:, 6:9], ref_c)
+    with pltpu.force_tpu_interpret_mode():
+        got_l, _ = forward_step_paged(CFG, TARGET, tokens[:, 6:9], got_c,
+                                      use_kernel=True)
+    np.testing.assert_allclose(np.asarray(got_l), np.asarray(ref_l),
+                               rtol=2e-4, atol=2e-4)
