@@ -24,6 +24,19 @@ assert jax.default_backend() == "cpu"
 import pytest  # noqa: E402
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_between_modules():
+    """The XLA CPU compiler segfaults (inside backend_compile_and_load)
+    once a single pytest process has accumulated ~95 tests' worth of live
+    compiled programs — reproducibly at the 17th test module, regardless of
+    which test runs there; every module passes in isolation. Dropping the
+    jit caches between modules keeps the per-process compiler state bounded.
+    Costs recompiles of the handful of cross-module tiny-model programs
+    (~1 min over the suite), crashes zero times."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def eagle_models():
     """(CFG, ECFG, target, untrained head, trained head) shared by the EAGLE
