@@ -24,6 +24,11 @@ class ModelConfig:
     head_dim: int
     max_position_embeddings: int = 2048
     rope_theta: float = 10000.0
+    # rope_scaling spec as a hashable tuple (config is a static jit arg):
+    # () | ("linear", factor) | ("llama3", factor, low_freq_factor,
+    # high_freq_factor, original_max_position_embeddings). Parsed from HF
+    # config.json by hf_loader.config_from_hf; applied in core/rope.py.
+    rope_scaling: tuple = ()
     # fraction of head_dim that is rotated (gpt-neox ``rotary_pct``; 1.0 for llama)
     rotary_pct: float = 1.0
     norm_eps: float = 1e-5

@@ -74,7 +74,8 @@ def _eagle_common(cfg: ModelConfig, eagle_params: Params,
     block-stack scan, and the target's final-norm + head."""
     T = tokens.shape[1]
     offsets = cache.length
-    cos, sin = rope_cos_sin(q_pos, cfg.rotary_dim, cfg.rope_theta)
+    cos, sin = rope_cos_sin(q_pos, cfg.rotary_dim, cfg.rope_theta,
+                            scaling=cfg.rope_scaling)
 
     emb = target_params["embed"][tokens].astype(cfg.dtype)
     x = jnp.concatenate([emb, feats.astype(cfg.dtype)], axis=-1)

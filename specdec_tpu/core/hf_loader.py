@@ -22,6 +22,30 @@ from specdec_tpu.core.config import ModelConfig
 Params = Dict[str, Any]
 
 
+def _rope_scaling_from_hf(hf_cfg) -> tuple:
+    """Parse HF ``rope_scaling`` into the hashable ModelConfig tuple.
+
+    Llama-3.1/3.2 checkpoints (the BASELINE ladder's named models) ship
+    llama3-type scaling; loading them without this silently produced wrong
+    frequencies for every position past nothing at all — the scaling applies
+    at ALL positions. Supported: llama3, linear, default/none. Anything else
+    (yarn, dynamic, longrope) raises rather than silently mis-rotating.
+    """
+    rs = getattr(hf_cfg, "rope_scaling", None)
+    if not rs:
+        return ()
+    kind = rs.get("rope_type", rs.get("type", "default"))
+    if kind in ("default", None):
+        return ()
+    if kind == "linear":
+        return ("linear", float(rs["factor"]))
+    if kind == "llama3":
+        return ("llama3", float(rs["factor"]), float(rs["low_freq_factor"]),
+                float(rs["high_freq_factor"]),
+                float(rs["original_max_position_embeddings"]))
+    raise ValueError(f"unsupported rope_scaling type: {kind!r}")
+
+
 def config_from_hf(hf_cfg, dtype=jnp.float32) -> ModelConfig:
     mt = getattr(hf_cfg, "model_type", "llama")
     if mt in ("llama", "mistral", "qwen2", "qwen3"):
@@ -38,6 +62,7 @@ def config_from_hf(hf_cfg, dtype=jnp.float32) -> ModelConfig:
             head_dim=head_dim,
             max_position_embeddings=hf_cfg.max_position_embeddings,
             rope_theta=getattr(hf_cfg, "rope_theta", 10000.0),
+            rope_scaling=_rope_scaling_from_hf(hf_cfg),
             norm_eps=hf_cfg.rms_norm_eps,
             norm_type="rmsnorm",
             act="silu",
@@ -64,6 +89,7 @@ def config_from_hf(hf_cfg, dtype=jnp.float32) -> ModelConfig:
             head_dim=hf_cfg.head_dim,
             max_position_embeddings=hf_cfg.max_position_embeddings,
             rope_theta=getattr(hf_cfg, "rope_theta", 10000.0),
+            rope_scaling=_rope_scaling_from_hf(hf_cfg),
             norm_eps=hf_cfg.rms_norm_eps,
             norm_type="rmsnorm",
             act="gelu_tanh" if act == "gelu_pytorch_tanh" else act,

@@ -103,14 +103,26 @@ def _attention(cfg: ModelConfig, q, k_all, v_all, q_pos, k_len, tree=None):
     S = k_all.shape[1]
     Hk = cfg.num_kv_heads
     G = cfg.q_per_kv
-    if (tree is None and k_scale is None
+    if (tree is None
             and cfg.attention_impl == "flash" and cfg.logit_softcap == 0.0
             and T * G <= 1024  # decode/verify blocks only: the kernel holds
             # the whole [T*G, Dh] query block (+f32 scratch) in VMEM, so
             # prefill-sized T must take the XLA path
             and jax.default_backend() == "tpu"):
-        from specdec_tpu.ops.decode_attention import flash_decode_attention
-        out = flash_decode_attention(q, k_all, v_all, q_pos[:, 0], Hk)
+        if k_scale is not None:
+            # int8 KV: stream the quantized tiles directly (half the HBM
+            # traffic of a dequantized stream — the KV-bound batch-decode
+            # regime this kernel exists for)
+            from specdec_tpu.ops.decode_attention import (
+                flash_decode_attention_quant,
+            )
+            out = flash_decode_attention_quant(q, k_all, k_scale, v_all,
+                                               v_scale, q_pos[:, 0], Hk)
+        else:
+            from specdec_tpu.ops.decode_attention import (
+                flash_decode_attention,
+            )
+            out = flash_decode_attention(q, k_all, v_all, q_pos[:, 0], Hk)
         return out.reshape(B, T, Hq * Dh)
     qg = q.reshape(B, T, Hk, G, Dh)
     scale = 1.0 / jnp.sqrt(Dh).astype(jnp.float32)
@@ -252,7 +264,8 @@ def _forward_common(cfg: ModelConfig, params: Params, tokens: jax.Array,
     output under jit."""
     T = tokens.shape[1]
     offsets = cache.length
-    cos, sin = rope_cos_sin(q_pos, cfg.rotary_dim, cfg.rope_theta)
+    cos, sin = rope_cos_sin(q_pos, cfg.rotary_dim, cfg.rope_theta,
+                            scaling=cfg.rope_scaling)
     x = params["embed"][tokens].astype(cfg.dtype)
     if cfg.embed_scale != 1.0:  # gemma: sqrt(hidden) on the embedding only
         x = x * jnp.asarray(cfg.embed_scale, cfg.dtype)
@@ -437,12 +450,18 @@ def forward_step_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
     B, T = tokens.shape
     offsets = cache.length
     q_pos = offsets[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
-    cos, sin = rope_cos_sin(q_pos, cfg.rotary_dim, cfg.rope_theta)
+    cos, sin = rope_cos_sin(q_pos, cfg.rotary_dim, cfg.rope_theta,
+                            scaling=cfg.rope_scaling)
     page_size = cache.page_size
     quant = isinstance(cache, QuantPagedKVCache)
     if use_kernel is None:
+        # same VMEM guard as the flash path (_attention): both paged kernels
+        # hold the whole [T*G, Dh] query block plus f32 scratch in VMEM, so
+        # prefill-sized T (chunked-admission blocks at high GQA ratios) must
+        # take the gather path rather than fail Mosaic compilation at runtime
         use_kernel = (jax.default_backend() == "tpu"
-                      and cfg.logit_softcap == 0.0)
+                      and cfg.logit_softcap == 0.0
+                      and T * cfg.q_per_kv <= 1024)
 
     x = params["embed"][tokens].astype(cfg.dtype)
     if cfg.embed_scale != 1.0:  # gemma: sqrt(hidden) on the embedding only

@@ -96,7 +96,8 @@ def pipeline_forward_full(cfg: ModelConfig, params, tokens: jax.Array,
 
         q_pos = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :],
                                  (mb, T))
-        cos, sin = rope_cos_sin(q_pos, cfg.rotary_dim, cfg.rope_theta)
+        cos, sin = rope_cos_sin(q_pos, cfg.rotary_dim, cfg.rope_theta,
+                                scaling=cfg.rope_scaling)
         offsets = jnp.zeros((mb,), jnp.int32)
         # scratch KV covering the block (uncached forward, ref forward_full)
         scratch = init_cache(cfg.replace(num_layers=1), mb, T)
