@@ -165,6 +165,25 @@ def load_models(
             params = codec_params_from_hf(model, cfg)
             del model
             return {"cfg": cfg, "params": params, "codec": True}, path
+        # llama-lineage safetensors checkpoints stream layer-by-layer,
+        # directly into quantized containers when quantizing — host peak is
+        # one layer, not the 2x-f32 full-model blow-up of the torch path
+        # (core/stream_loader.py; ref loads full torch modules,
+        # model_loader.py:81-111)
+        streamable = (
+            getattr(hf_cfg, "model_type", "") in (
+                "llama", "mistral", "qwen2", "qwen3", "gemma")
+            and (os.path.exists(os.path.join(path, "model.safetensors"))
+                 or os.path.exists(os.path.join(
+                     path, "model.safetensors.index.json"))))
+        if streamable:
+            from specdec_tpu.core.stream_loader import load_hf_streamed
+            cfg, params = load_hf_streamed(path, dtype=dtype,
+                                           quantization=quant, fuse=True)
+            out = {"cfg": cfg, "params": params}
+            if quant != "none":
+                out["quantized"] = quant
+            return out, path
         from specdec_tpu.core.hf_loader import load_hf_model
         cfg, params = load_hf_model(path, dtype=dtype)
         return {"cfg": cfg, "params": params}, path

@@ -1,0 +1,116 @@
+"""Host-side (numpy) quantizers, bit-compatible with quant/core.py.
+
+Why these exist: the tunneled TPU client RETAINS a host copy of every buffer
+transferred to the device for the lifetime of the process (measured:
++0.39 GB RSS per 0.4 GB transfer, unreclaimed after del+gc). Streaming a
+checkpoint through device-side quantization therefore pins the FULL dense
+model in host RAM — 15 GB for 8B bf16 — defeating the streaming loader's
+memory budget. Quantizing each layer on the host first means only the
+quantized bytes (0.56/weight at INT4) ever cross the transfer boundary.
+
+Bit-compatibility contract: integer codes/packed words are exactly equal to
+the device quantizers' output on the same f32 input (IEEE single-precision
+divide/round/compare sequences are replicated op for op); f32 scales agree
+to 1 ULP (XLA may reassociate the absmax reduction). Enforced by
+tests/test_quant.py::test_host_quantizers_match_device and the streamed-vs-
+post-hoc loader tests.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from specdec_tpu.quant.core import (
+    FP4_VALUES, FP4Weight, Int4Weight, Int8Weight, NF4_BLOCK, NF4_CODEBOOK,
+    NF4Weight,
+)
+
+
+def _pack_nibbles_np(code: np.ndarray) -> np.ndarray:
+    """codes [..., K, N] (0..15) -> int32 words [..., K//8, N]; word r holds
+    code for k=8r+j at bits [4j, 4j+4) — the layout quant/core._pack_nibbles
+    produces and the Pallas kernels consume."""
+    *lead, K, N = code.shape
+    assert K % 8 == 0
+    c = code.astype(np.uint32).reshape(*lead, K // 8, 8, N)
+    shifts = np.arange(0, 32, 4, dtype=np.uint32).reshape(
+        *([1] * len(lead)), 1, 8, 1)
+    words = np.bitwise_or.reduce(c << shifts, axis=-2)
+    return words.view(np.int32)
+
+
+def quantize_int8_np(w: np.ndarray) -> Int8Weight:
+    w = np.asarray(w, np.float32)
+    absmax = np.max(np.abs(w), axis=-2, keepdims=True)
+    scale = absmax / np.float32(127.0)
+    q = np.clip(np.round(w / np.maximum(scale, np.float32(1e-12))),
+                -127, 127)
+    return Int8Weight(q=q.astype(np.int8), scale=scale)
+
+
+def _blocked(w: np.ndarray):
+    w = np.asarray(w, np.float32)
+    *lead, K, N = w.shape
+    assert K % NF4_BLOCK == 0, f"K={K} not divisible by {NF4_BLOCK}"
+    blocks = w.reshape(*lead, K // NF4_BLOCK, NF4_BLOCK, N)
+    absmax = np.max(np.abs(blocks), axis=-2)
+    return blocks, absmax, lead, K, N
+
+
+def quantize_int4_np(w: np.ndarray) -> Int4Weight:
+    blocks, absmax, lead, K, N = _blocked(w)
+    q = np.round(blocks / np.maximum(absmax[..., None, :],
+                                     np.float32(1e-12)) * np.float32(7.0))
+    code = (np.clip(q, -7, 7) + 8).reshape(*lead, K, N)
+    return Int4Weight(packed=_pack_nibbles_np(code),
+                      absmax=absmax / np.float32(7.0))
+
+
+def quantize_nf4_np(w: np.ndarray) -> NF4Weight:
+    blocks, absmax, lead, K, N = _blocked(w)
+    normed = blocks / np.maximum(absmax[..., None, :], np.float32(1e-12))
+    mids = (NF4_CODEBOOK[1:] + NF4_CODEBOOK[:-1]) / np.float32(2.0)
+    code = np.searchsorted(mids, normed).reshape(*lead, K, N)
+    return NF4Weight(packed=_pack_nibbles_np(code), absmax=absmax)
+
+
+def quantize_fp4_np(w: np.ndarray) -> FP4Weight:
+    blocks, absmax, lead, K, N = _blocked(w)
+    scaled = blocks / np.maximum(absmax[..., None, :],
+                                 np.float32(1e-12)) * np.float32(6.0)
+    mags = np.abs(scaled)
+    grid = np.asarray(FP4_VALUES, np.float32)
+    mids = (grid[1:] + grid[:-1]) / np.float32(2.0)
+    mag_code = np.searchsorted(mids, mags)
+    sign = (scaled < 0).astype(np.int64)
+    code = ((sign << 3) | mag_code).reshape(*lead, K, N)
+    return FP4Weight(packed=_pack_nibbles_np(code),
+                     absmax=absmax / np.float32(6.0))
+
+
+HOST_QUANTIZERS = {"int8": quantize_int8_np, "int4": quantize_int4_np,
+                   "nf4": quantize_nf4_np, "fp4": quantize_fp4_np}
+
+
+def quantize_layer_dict_np(layers: dict, fn, fuse: bool) -> dict:
+    """Host mirror of quant/core._quantize_layer_dict (np.concatenate for
+    the fused wqkv / w_gateup weights)."""
+    from specdec_tpu.quant.core import _QUANTIZABLE
+
+    layers = dict(layers)
+    if fuse and "wq" in layers:
+        layers["wqkv"] = fn(np.concatenate(
+            [layers.pop("wq"), layers.pop("wk"), layers.pop("wv")], axis=-1))
+        if "bq" in layers:
+            layers["bqkv"] = np.concatenate(
+                [layers.pop("bq"), layers.pop("bk"), layers.pop("bv")],
+                axis=-1)
+        if "w_gate" in layers:
+            layers["w_gateup"] = fn(np.concatenate(
+                [layers.pop("w_gate"), layers.pop("w_up")], axis=-1))
+            if "b_gate" in layers:
+                layers["b_gateup"] = np.concatenate(
+                    [layers.pop("b_gate"), layers.pop("b_up")], axis=-1)
+    for name in _QUANTIZABLE:
+        if name in layers:
+            layers[name] = fn(layers[name])
+    return layers

@@ -354,3 +354,39 @@ def test_nf4_bits_kernel_matches_oracle_interpret():
     np.testing.assert_allclose(np.asarray(out, dtype=np.float32),
                                np.asarray(oracle),
                                rtol=2e-2, atol=2e-1)
+
+
+def test_host_quantizers_match_device():
+    """quant/host.py's numpy quantizers must be bit-compatible with the
+    device (quant/core.py) versions: exact integer codes/packed words,
+    1-ULP scales (XLA may reassociate the absmax reduction). The streaming
+    loader quantizes on host (transferred-buffer retention on the tunneled
+    backend), so this equivalence is what makes its output interchangeable
+    with quantize_params'."""
+    import numpy as np
+    import jax
+    from specdec_tpu.quant import core as qc
+    from specdec_tpu.quant import host as qh
+
+    rng = np.random.default_rng(5)
+    w = (rng.standard_normal((2, 128, 96)) * 0.3).astype(np.float32)
+    # include exact-zero columns and large outliers
+    w[:, :, 0] = 0.0
+    w[0, 3, 5] = 50.0
+
+    for name, dev_fn, host_fn in (
+            ("int8", qc.quantize_int8, qh.quantize_int8_np),
+            ("int4", qc.quantize_int4, qh.quantize_int4_np),
+            ("nf4", qc.quantize_nf4, qh.quantize_nf4_np),
+            ("fp4", qc.quantize_fp4, qh.quantize_fp4_np)):
+        dev = dev_fn(jax.numpy.asarray(w))
+        host = host_fn(w)
+        d_leaves = jax.tree_util.tree_leaves_with_path(dev)
+        h_leaves = jax.tree_util.tree_leaves_with_path(host)
+        for (k, a), (_, b) in zip(d_leaves, h_leaves):
+            a, b = np.asarray(a), np.asarray(b)
+            if np.issubdtype(a.dtype, np.integer):
+                np.testing.assert_array_equal(b, a, err_msg=f"{name}{k}")
+            else:
+                np.testing.assert_allclose(b, a, rtol=1e-6,
+                                           err_msg=f"{name}{k}")
