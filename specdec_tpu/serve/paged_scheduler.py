@@ -15,6 +15,7 @@ window's gamma+1 tokens always have backing pages.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import List, Optional, Tuple
 
@@ -24,7 +25,7 @@ import numpy as np
 from jax import lax
 
 from specdec_tpu.core.config import ModelConfig
-from specdec_tpu.core.model import forward_step_paged
+from specdec_tpu.core.model import forward_step, forward_step_paged
 from specdec_tpu.core.paged_cache import (
     PageAllocator, merge_view_storage, paged_view, required_pages,
 )
@@ -114,27 +115,107 @@ def _admit_slot_paged(drafter_cfg: ModelConfig, drafter_params,
     )
 
 
-@partial(jax.jit, static_argnames=("drafter_cfg", "target_cfg"),
+@partial(jax.jit, static_argnames=(
+    "drafter_cfg", "target_cfg", "processor", "eos_ids"),
+         donate_argnames=("state",))
+def _admit_slot_hybrid(drafter_cfg: ModelConfig, drafter_params,
+                       target_cfg: ModelConfig, target_params,
+                       state: BatchState, slot: jax.Array,
+                       prompt: jax.Array, suffix: jax.Array,
+                       cached_len: jax.Array, prompt_len: jax.Array,
+                       max_new: jax.Array, t_row: jax.Array,
+                       processor: LogitsProcessor, eos_ids: Tuple[int, ...],
+                       key: jax.Array) -> BatchState:
+    """Hybrid admission: target prefills through the paged pool (partial,
+    prefix-cache aware — same semantics as _admit_slot_paged), drafter
+    prefills the FULL prompt into its SLOTTED cache (batch-of-one scratch +
+    install_slot, as in scheduler._admit_slot).
+
+    Why hybrid is the default: the decode window runs gamma sequential T=1
+    drafter steps per verify step, and the paged write/gather indirection is
+    proportionally most expensive exactly there — keeping the (shallow)
+    drafter slotted removes gamma paged scatters + paged attentions per
+    window while the target pool keeps the memory elasticity (the target's
+    KV dominates: L_target >> L_drafter)."""
+    from specdec_tpu.core.cache import init_cache, install_slot
+
+    S = state.buf.shape[1]
+
+    def put_row(arr, val):
+        return lax.dynamic_update_index_in_dim(arr, val, slot, axis=0)
+
+    t_cache = dataclasses.replace(
+        state.t_cache, page_table=put_row(state.t_cache.page_table, t_row))
+    t_view = paged_view(t_cache, t_row, cached_len)
+    t_logits, t_view = forward_step_paged(target_cfg, target_params,
+                                          suffix[None, :], t_view)
+
+    d_cache1 = init_cache(drafter_cfg, 1, S)
+    _, d_cache1 = forward_step(drafter_cfg, drafter_params, prompt[None, :],
+                               d_cache1)
+
+    last = jnp.take_along_axis(
+        t_logits, (prompt_len - cached_len - 1)[None, None, None],
+        axis=1)[0, 0]
+    p0 = processor(last)
+    tok0 = processor.sample(p0, key).astype(jnp.int32)
+
+    row = jnp.zeros((S,), jnp.int32)
+    row = lax.dynamic_update_slice(row, prompt, (0,))
+    row = lax.dynamic_update_index_in_dim(row, tok0, prompt_len, axis=0)
+
+    max_pos = min(target_cfg.max_position_embeddings,
+                  drafter_cfg.max_position_embeddings)
+    total = jnp.minimum(max_pos, prompt_len + max_new)
+    pos = prompt_len + 1
+    eos0 = jnp.zeros((), bool)
+    if eos_ids:
+        eos0 = jnp.any(tok0 == jnp.asarray(eos_ids, jnp.int32))
+    finished = eos0 | (pos >= total)
+
+    return dataclasses.replace(
+        state,
+        buf=put_row(state.buf, row),
+        pos=put_row(state.pos, pos),
+        prompt_len=put_row(state.prompt_len, prompt_len),
+        total_len=put_row(state.total_len, total),
+        finished=put_row(state.finished, finished),
+        t_cache=merge_view_storage(t_cache, t_view).with_length(
+            put_row(t_cache.length, pos - 1)),
+        # drafter invariant: covers pos-2 (two-token first draft step)
+        d_cache=install_slot(state.d_cache, d_cache1, slot, pos - 2),
+        accepted=put_row(state.accepted, jnp.int32(0)),
+        speculated=put_row(state.speculated, jnp.int32(0)),
+    )
+
+
+@partial(jax.jit, static_argnames=("drafter_cfg", "target_cfg",
+                                   "drafter_paged"),
          donate_argnames=("state",))
 def _prefill_chunk(drafter_cfg: ModelConfig, drafter_params,
                    target_cfg: ModelConfig, target_params,
                    state: BatchState, chunk: jax.Array, offset: jax.Array,
-                   t_row: jax.Array, d_row: jax.Array) -> BatchState:
+                   t_row: jax.Array, d_row: jax.Array,
+                   drafter_paged: bool = True) -> BatchState:
     """One chunked-prefill step: write a [C]-token slice of a pending
-    request's prompt into both pools at ``offset`` (same partial-prefill
+    request's prompt into the pool(s) at ``offset`` (same partial-prefill
     semantics as _admit_slot_paged — positions come from the view length).
     Only the pools change; the slot's counters/buffer stay untouched until
-    the FINAL chunk commits tok0 via _admit_slot_paged."""
+    the FINAL chunk commits tok0 via the admission program. In hybrid mode
+    (drafter_paged=False) chunks touch only the target pool; the (shallow)
+    drafter prefills its whole prompt in the final admission."""
     t_view = paged_view(state.t_cache, t_row, offset)
     _, t_view = forward_step_paged(target_cfg, target_params,
                                    chunk[None, :], t_view)
-    d_view = paged_view(state.d_cache, d_row, offset)
-    _, d_view = forward_step_paged(drafter_cfg, drafter_params,
-                                   chunk[None, :], d_view)
-    return dataclasses.replace(
-        state,
-        t_cache=merge_view_storage(state.t_cache, t_view),
-        d_cache=merge_view_storage(state.d_cache, d_view))
+    out = dataclasses.replace(
+        state, t_cache=merge_view_storage(state.t_cache, t_view))
+    if drafter_paged:
+        d_view = paged_view(state.d_cache, d_row, offset)
+        _, d_view = forward_step_paged(drafter_cfg, drafter_params,
+                                       chunk[None, :], d_view)
+        out = dataclasses.replace(
+            out, d_cache=merge_view_storage(state.d_cache, d_view))
+    return out
 
 
 class PagedContinuousBatcher(ContinuousBatcher):
@@ -146,12 +227,19 @@ class PagedContinuousBatcher(ContinuousBatcher):
                  prefix_caching: bool = False,
                  prefill_buckets: Optional[Tuple[int, ...]] = None,
                  prefill_chunk: Optional[int] = None,
+                 drafter_paged: bool = False,
                  **kw):
         super().__init__(drafter_cfg, drafter_params, target_cfg,
                          target_params, num_slots=num_slots, gamma=gamma,
                          max_prompt_len=max_prompt_len,
                          max_new_tokens=max_new_tokens, **kw)
         self.page_size = page_size
+        # hybrid mode (default): target KV paged, drafter KV slotted — the
+        # decode window's gamma sequential drafter steps skip the paged
+        # write/gather indirection entirely; the drafter's reserved slots
+        # cost L_drafter/L_target of the KV (small by construction).
+        # drafter_paged=True pools both (maximum elasticity).
+        self.drafter_paged = drafter_paged
         # default pool: half of what per-slot reservation would need — the
         # memory win comes from sequences not all being max-length at once
         pool_tokens = pool_tokens or (num_slots * self.S + self.S) // 2
@@ -167,20 +255,23 @@ class PagedContinuousBatcher(ContinuousBatcher):
                              2 * self.max_pages_per_seq)
 
         from specdec_tpu.core.paged_cache import init_paged_cache
-        self.state = dataclasses.replace(
-            self.state,
-            d_cache=init_paged_cache(drafter_cfg, num_slots, self.num_pages,
-                                     page_size, self.max_pages_per_seq),
+        caches = dict(
             t_cache=init_paged_cache(target_cfg, num_slots, self.num_pages,
-                                     page_size, self.max_pages_per_seq),
-        )
+                                     page_size, self.max_pages_per_seq))
+        if drafter_paged:
+            caches["d_cache"] = init_paged_cache(
+                drafter_cfg, num_slots, self.num_pages, page_size,
+                self.max_pages_per_seq)
+        # hybrid: d_cache stays the slotted [L, B, S] cache from super()
+        self.state = dataclasses.replace(self.state, **caches)
         # separate pools per model (page ids are per-pool)
         self._alloc_t = PageAllocator(self.num_pages)
-        self._alloc_d = PageAllocator(self.num_pages)
+        self._alloc_d = PageAllocator(self.num_pages if drafter_paged else 1)
         # page 0 is the garbage page: inactive/finished slots' page tables
         # point at it (their masked writes must not corrupt real pages)
         self._alloc_t.alloc("_garbage", 1)
-        self._alloc_d.alloc("_garbage", 1)
+        if drafter_paged:
+            self._alloc_d.alloc("_garbage", 1)
         self._slot_pages_t: List[List[int]] = [[] for _ in range(num_slots)]
         self._slot_pages_d: List[List[int]] = [[] for _ in range(num_slots)]
         self._tables_dirty = False
@@ -240,7 +331,8 @@ class PagedContinuousBatcher(ContinuousBatcher):
         if deficit > 0 and self.prefix_caching:
             t_pages, d_pages = self.prefix_cache.reclaim(deficit)
             self._alloc_t.free.extend(t_pages)
-            self._alloc_d.free.extend(d_pages)
+            # hybrid entries carry d_page=-1 (no drafter pool)
+            self._alloc_d.free.extend(p for p in d_pages if p >= 0)
         return alloc.alloc(owner, n)
 
     def _release_slot_pages(self, slot: int, req: Request):
@@ -287,15 +379,24 @@ class PagedContinuousBatcher(ContinuousBatcher):
         # round-trip per step on the tunneled backend (measured: the paged
         # batcher trailed the slotted one partly on this).
         pos = self._host_pos
+        if __debug__ and os.getenv("SPECDEC_CHECK_HOST_POS"):
+            # staleness tripwire (CPU/CI only — a device pull per step costs
+            # ~35-81 ms on the tunneled TPU): a pos-advancing path that skips
+            # the mirror refresh would silently under-provision pages and
+            # corrupt outputs through the garbage page
+            dev = np.asarray(self.state.pos)
+            assert (dev == np.asarray(pos)).all(), (
+                f"_host_pos stale at _top_up: host={pos} device={dev.tolist()}")
         for slot in range(self.B):
             req = self.slot_req[slot]
             if req is None:
                 continue
             need = self._needed_now(int(pos[slot]))
+            pools = [(self._alloc_t, self._slot_pages_t[slot], "t")]
+            if self.drafter_paged:
+                pools.append((self._alloc_d, self._slot_pages_d[slot], "d"))
             try:
-                for alloc, pages, tag in (
-                        (self._alloc_t, self._slot_pages_t[slot], "t"),
-                        (self._alloc_d, self._slot_pages_d[slot], "d")):
+                for alloc, pages, tag in pools:
                     if len(pages) < need:
                         pages.extend(self._alloc(
                             alloc, (tag, slot, req.request_id),
@@ -322,14 +423,14 @@ class PagedContinuousBatcher(ContinuousBatcher):
                 return self._table_row(pages)
             t_tbl = jnp.stack([row(s, p)
                                for s, p in enumerate(self._slot_pages_t)])
-            d_tbl = jnp.stack([row(s, p)
-                               for s, p in enumerate(self._slot_pages_d)])
-            self.state = dataclasses.replace(
-                self.state,
-                t_cache=dataclasses.replace(self.state.t_cache,
-                                            page_table=t_tbl),
-                d_cache=dataclasses.replace(self.state.d_cache,
-                                            page_table=d_tbl))
+            new_caches = dict(t_cache=dataclasses.replace(
+                self.state.t_cache, page_table=t_tbl))
+            if self.drafter_paged:
+                d_tbl = jnp.stack([row(s, p)
+                                   for s, p in enumerate(self._slot_pages_d)])
+                new_caches["d_cache"] = dataclasses.replace(
+                    self.state.d_cache, page_table=d_tbl)
+            self.state = dataclasses.replace(self.state, **new_caches)
 
     # ------------------------------------------------------------ overrides
     def _match_blocks(self, req: Request) -> Tuple[List[int], int]:
@@ -350,9 +451,12 @@ class PagedContinuousBatcher(ContinuousBatcher):
                                 + 1)
         if not self.prefix_caching:
             return (len(self._alloc_t.free) >= need and
-                    len(self._alloc_d.free) >= need)
+                    (not self.drafter_paged
+                     or len(self._alloc_d.free) >= need))
         _, m = self._match_blocks(req)
-        avail = min(len(self._alloc_t.free), len(self._alloc_d.free))
+        avail = len(self._alloc_t.free)
+        if self.drafter_paged:
+            avail = min(avail, len(self._alloc_d.free))
         return need - m <= avail + self.prefix_cache.evictable
 
     def _begin_admit(self, slot: int, req: Request):
@@ -376,9 +480,10 @@ class PagedContinuousBatcher(ContinuousBatcher):
         self._slot_pages_t[slot] = ([h[0] for h in hits]
                                     + self._alloc(self._alloc_t, owner_t,
                                                   need - m))
-        self._slot_pages_d[slot] = ([h[1] for h in hits]
-                                    + self._alloc(self._alloc_d, owner_d,
-                                                  need - m))
+        if self.drafter_paged:
+            self._slot_pages_d[slot] = ([h[1] for h in hits]
+                                        + self._alloc(self._alloc_d, owner_d,
+                                                      need - m))
         self._prefilling[slot] = [req, keys, m, n, m * self.page_size]
 
     def _advance_prefill(self, slot: int) -> bool:
@@ -397,7 +502,8 @@ class PagedContinuousBatcher(ContinuousBatcher):
                 self.target_params, self.state, jnp.asarray(tok),
                 jnp.int32(offset),
                 self._table_row(self._slot_pages_t[slot]),
-                self._table_row(self._slot_pages_d[slot]))
+                self._table_row(self._slot_pages_d[slot]),
+                drafter_paged=self.drafter_paged)
             self._prefilling[slot][4] = offset + chunk
             return False
 
@@ -406,14 +512,23 @@ class PagedContinuousBatcher(ContinuousBatcher):
         prompt[:n] = req.prompt_ids[:n]
         suffix = np.zeros((bucket,), np.int32)
         suffix[:remaining] = req.prompt_ids[offset:n]
-        self.state = _admit_slot_paged(
-            self.drafter_cfg, self.drafter_params, self.target_cfg,
-            self.target_params, self.state, jnp.int32(slot), jnp.asarray(prompt),
-            jnp.asarray(suffix), jnp.int32(offset),
-            jnp.int32(n), jnp.int32(req.max_new_tokens),
-            self._table_row(self._slot_pages_t[slot]),
-            self._table_row(self._slot_pages_d[slot]),
-            self.processor, self.eos_ids, self._next_key())
+        if self.drafter_paged:
+            self.state = _admit_slot_paged(
+                self.drafter_cfg, self.drafter_params, self.target_cfg,
+                self.target_params, self.state, jnp.int32(slot),
+                jnp.asarray(prompt), jnp.asarray(suffix), jnp.int32(offset),
+                jnp.int32(n), jnp.int32(req.max_new_tokens),
+                self._table_row(self._slot_pages_t[slot]),
+                self._table_row(self._slot_pages_d[slot]),
+                self.processor, self.eos_ids, self._next_key())
+        else:
+            self.state = _admit_slot_hybrid(
+                self.drafter_cfg, self.drafter_params, self.target_cfg,
+                self.target_params, self.state, jnp.int32(slot),
+                jnp.asarray(prompt), jnp.asarray(suffix), jnp.int32(offset),
+                jnp.int32(n), jnp.int32(req.max_new_tokens),
+                self._table_row(self._slot_pages_t[slot]),
+                self.processor, self.eos_ids, self._next_key())
         if self.prefix_caching:
             # hand the freshly prefilled full prompt blocks to the cache
             # (refcount 1, held by this slot until release)
@@ -421,10 +536,12 @@ class PagedContinuousBatcher(ContinuousBatcher):
             owner_d = ("d", slot, req.request_id)
             for i in range(m, n // self.page_size):
                 tp = self._slot_pages_t[slot][i]
-                dp = self._slot_pages_d[slot][i]
+                dp = (self._slot_pages_d[slot][i]
+                      if self.drafter_paged else -1)
                 if self.prefix_cache.insert(keys[i], tp, dp):
                     self._alloc_t.disown(owner_t, tp)
-                    self._alloc_d.disown(owner_d, dp)
+                    if self.drafter_paged:
+                        self._alloc_d.disown(owner_d, dp)
                     self._slot_shared[slot].append(keys[i])
         del self._prefilling[slot]
         self.slot_req[slot] = req

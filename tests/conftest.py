@@ -13,6 +13,9 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("TOKENIZERS_PARALLELISM", "false")
+# paged scheduler: verify the host position mirror against the device every
+# _top_up (free on CPU; a per-step RPC on the tunneled TPU, so env-gated)
+os.environ.setdefault("SPECDEC_CHECK_HOST_POS", "1")
 
 import jax  # noqa: E402
 

@@ -155,3 +155,41 @@ def test_allocator():
     assert required_pages(1, 16) == 1
     assert required_pages(16, 16) == 1
     assert required_pages(17, 16) == 2
+
+
+def test_batched_scatter_matches_loop_with_finished_slots():
+    """write_block_paged passes unique_indices=True although FINISHED slots'
+    table rows all alias garbage page 0 (duplicate (page, slot) pairs). JAX
+    calls duplicate-index behavior undefined — this regression pin asserts
+    that every LIVE page is bit-identical to a per-position loop-scatter
+    oracle, so a compiler change that starts resolving duplicates differently
+    fails loudly here rather than silently corrupting pool pages."""
+    B, T, Hk, Dh = 4, 5, 2, 8
+    NP = 9
+    rng = np.random.default_rng(3)
+    layer = jnp.asarray(rng.standard_normal((NP, Hk, PAGE, Dh)), jnp.float32)
+    new = jnp.asarray(rng.standard_normal((B, T, Hk, Dh)), jnp.float32)
+
+    # slots 1 and 3 finished: their rows alias garbage page 0 and their
+    # offsets deliberately COLLIDE at identical (page, slot) pairs
+    tables = np.array([[1, 2, 3], [0, 0, 0], [4, 5, 6], [0, 0, 0]], np.int32)
+    offsets = np.array([7, 12, 30, 12], np.int32)
+
+    out_k, _ = write_block_paged(layer, layer, new, new,
+                                 jnp.asarray(tables), jnp.asarray(offsets),
+                                 PAGE)
+
+    # oracle: sequential per-(b, t) writes (well-defined, later-wins)
+    oracle = np.asarray(layer).copy()
+    for b in range(B):
+        for t in range(T):
+            pos = offsets[b] + t
+            page = tables[b, pos // PAGE]
+            oracle[page, :, pos % PAGE] = np.asarray(new[b, t])
+
+    got = np.asarray(out_k)
+    live = sorted(set(tables[0]) | set(tables[2]))
+    np.testing.assert_array_equal(got[live], oracle[live])
+    # and the garbage page stayed garbage-only: no live page was touched
+    # beyond the oracle's writes (checked above); page 0's content is
+    # unspecified, so it is deliberately NOT compared

@@ -15,7 +15,12 @@ CFG = tiny_config(vocab_size=VOCAB, num_layers=2, hidden_size=32,
 TARGET = init_params(CFG, jax.random.key(0), scale=0.4)
 
 
-def test_paged_batcher_matches_standalone():
+import pytest
+
+
+@pytest.mark.parametrize("drafter_paged", [False, True],
+                         ids=["hybrid", "both-paged"])
+def test_paged_batcher_matches_standalone(drafter_paged):
     prompts = [
         [3, 14, 15, 9, 2, 6],
         [1, 1, 2, 3, 5, 8, 13, 21],
@@ -24,7 +29,8 @@ def test_paged_batcher_matches_standalone():
     ]
     cb = PagedContinuousBatcher(CFG, TARGET, CFG, TARGET, num_slots=2,
                                 gamma=3, max_prompt_len=32, max_new_tokens=12,
-                                page_size=8, eos_tokens_id=())
+                                page_size=8, eos_tokens_id=(),
+                                drafter_paged=drafter_paged)
     ids = [cb.submit(p) for p in prompts]
     done = cb.run()
     assert sorted(done) == sorted(ids)
@@ -36,18 +42,22 @@ def test_paged_batcher_matches_standalone():
         assert done[rid].metrics.acceptance_rate == 1.0
 
 
-def test_pages_recycled_and_capacity_respected():
+@pytest.mark.parametrize("drafter_paged", [False, True],
+                         ids=["hybrid", "both-paged"])
+def test_pages_recycled_and_capacity_respected(drafter_paged):
     cb = PagedContinuousBatcher(CFG, TARGET, CFG, TARGET, num_slots=1,
                                 gamma=2, max_prompt_len=16, max_new_tokens=8,
                                 page_size=8, pool_tokens=64,
-                                eos_tokens_id=())
+                                eos_tokens_id=(),
+                                drafter_paged=drafter_paged)
     free0 = len(cb._alloc_t.free)
+    free0_d = len(cb._alloc_d.free)
     ids = [cb.submit([3, 5, 7, 9]) for _ in range(4)]
     done = cb.run()
     assert len(done) == 4
     # all pages returned after the queue drains
     assert len(cb._alloc_t.free) == free0
-    assert len(cb._alloc_d.free) == free0
+    assert len(cb._alloc_d.free) == free0_d
     for rid in ids:
         assert len(done[rid].output_ids) == 8
 
@@ -73,8 +83,8 @@ def test_preemption_under_pool_pressure():
                                          eos_tokens_id=(),
                                          key=jax.random.key(7))
         assert done[rid].output_ids == expect, f"request {rid} diverged"
-    # all pages home again
-    assert len(cb._alloc_t.free) == len(cb._alloc_d.free)
+    # all pages home again (hybrid default: drafter pool is a 1-page dummy)
+    assert len(cb._alloc_t.free) == cb.num_pages - 1
 
 
 def test_paged_multiwindow_sync_matches_oracle():
