@@ -127,10 +127,68 @@ def batch_state_pspecs(drafter_replicated: bool = True):
         accepted=d, speculated=d)
 
 
+# layer-dict weight roles: column-parallel ([.., K, N] sharded on N) for the
+# qkv/up projections INCLUDING their fused forms (fusion concatenates along
+# N, so column sharding stays valid), row-parallel (sharded on K) for the
+# output projections whose matmul partial-sums all-reduce
+_COL_W = ("wq", "wk", "wv", "wqkv", "w_gate", "w_up", "w_gateup")
+_ROW_W = ("wo", "w_down")
+_COL_B = ("bq", "bk", "bv", "bqkv", "b_gate", "b_up", "b_gateup")
+
+
+def _expand_container_spec(w, spec):
+    """Turn a DENSE weight PartitionSpec into the matching spec for a
+    quantized container (quant/core.py): packed values/codes shard exactly
+    like the dense weight (the packed K/8 and blocked K/64 axes sit where K
+    sat); INT8's per-output-channel scale [..., 1, N] replicates K and
+    follows N."""
+    from specdec_tpu.quant.core import (
+        FP4Weight, Int4Weight, Int8Weight, NF4Weight,
+    )
+    if isinstance(w, Int8Weight):
+        scale = list(spec)
+        scale[-2] = None
+        return Int8Weight(q=spec, scale=P(*scale))
+    if isinstance(w, (Int4Weight, NF4Weight, FP4Weight)):
+        return type(w)(spec, spec)
+    return spec
+
+
+def pspecs_for_params(params, cfg: ModelConfig, replicated: bool = False):
+    """PartitionSpec pytree derived from the ACTUAL params structure — dense
+    or quantized, fused or unfused. Quantized containers expand to matching
+    specs per leaf (``_expand_container_spec``); unknown layer keys
+    replicate, which is always correct (GSPMD reshards as needed)."""
+    m = MODEL_AXIS if not replicated else None
+    out = {}
+    for key, val in params.items():
+        if key == "layers":
+            layers = {}
+            for name, w in val.items():
+                if name in _COL_W:
+                    spec = P(None, None, m)
+                elif name in _ROW_W:
+                    spec = P(None, m, None)
+                elif name in _COL_B:
+                    spec = P(None, m)
+                else:
+                    spec = P()
+                layers[name] = _expand_container_spec(w, spec)
+            out["layers"] = layers
+        elif key == "embed":
+            out[key] = P(m, None)
+        elif key == "lm_head":
+            out[key] = _expand_container_spec(val, P(None, m))
+        else:
+            out[key] = P()  # norms and other vectors replicate
+    return out
+
+
 def shard_params(params, cfg: ModelConfig, mesh: Mesh,
                  replicated: bool = False):
-    """device_put a params pytree onto the mesh per param_pspecs."""
-    specs = param_pspecs(cfg, replicated=replicated)
+    """device_put a params pytree onto the mesh per ``pspecs_for_params``
+    (handles dense, fused, and quantized-container layouts)."""
+    specs = pspecs_for_params(params, cfg, replicated=replicated)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
 
