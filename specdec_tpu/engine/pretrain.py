@@ -1,0 +1,203 @@
+"""Structured synthetic language + LM pretraining: a LEARNABLE bench target.
+
+Why this exists: the random-weight `synthetic:` targets are perfect for
+throughput/acceptance mechanics (their conditionals are deterministic
+functions of random weights, so self-drafting and prefix-drafting work), but
+they are PROVABLY hostile to feature-level drafters — a depth-1 EAGLE head
+cannot compress an 18-layer random map, and measured argmax agreement was
+0.004 (VERDICT r2 weak #1). Comparing drafter families on such a target says
+nothing about their real-checkpoint behavior.
+
+This module builds the fair arena: a hashed-state Markov stream with EXACTLY
+KNOWN per-token entropy, and a pretraining loop that turns any
+`core/model.py` config into a target that has actually LEARNED the stream.
+On a trained target:
+
+- the stream's conditional entropy lower-bounds every drafter's rejection
+  rate identically (acceptance is capped by predictability, same for all);
+- the target's features are informative about its next-token distribution
+  (they were trained to be), so EAGLE's feature-conditioning has signal;
+- a LayerSkip PREFIX of the target is NOT automatically a good drafter —
+  early layers of a conventionally-trained LM are not trained to predict
+  through the head (that requires early-exit/LayerSkip training) — which is
+  the real-world regime where EAGLE-class drafters earn their keep.
+
+Stream model: context (t_{-2}, t_{-1}) hashes to one of H states
+(h = (a*t2 + b*t1 + c) mod H, odd multipliers); each state owns K candidate
+successor tokens (deterministic from the seed) shared Zipf weights
+p_i ∝ (i+1)^-zipf_s. Per-token entropy is exactly H(p) for every state, so
+the trained target's NLL has an absolute yardstick.
+
+ref: the reference has no training path (SURVEY.md §0) — this is framework
+infrastructure for honest drafter evaluation, anchored to VERDICT r2 next #3.
+"""
+from __future__ import annotations
+
+import dataclasses
+import zlib
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from specdec_tpu.core.cache import init_cache
+from specdec_tpu.core.config import ModelConfig
+from specdec_tpu.core.model import forward_step
+
+
+@dataclasses.dataclass(frozen=True)
+class MarkovSpec:
+    """Hashed order-1/2 Markov stream over [1, vocab) (0 stays a pad id).
+
+    ``order`` picks the drafter-fairness regime: order-2 hashes BOTH
+    trailing tokens into the state — the sufficient statistic for step j+2
+    includes t_j, which a trained target's final feature need not retain
+    (it only has to encode the CURRENT successor distribution), so order-2
+    is structurally adversarial to feature drafters; order-1's state is a
+    function of the token the drafter receives as input, so the arena is
+    fair to every drafter family and acceptance is capped only by the
+    stream entropy.
+    """
+    vocab_size: int
+    num_states: int = 4096
+    branching: int = 8          # K successors per state
+    zipf_s: float = 1.2         # successor weights ∝ (i+1)^-s
+    order: int = 2
+    seed: int = 0
+
+    @property
+    def entropy_nats(self) -> float:
+        """Exact per-token conditional entropy of the stream."""
+        w = (np.arange(1, self.branching + 1, dtype=np.float64)
+             ** -self.zipf_s)
+        p = w / w.sum()
+        return float(-(p * np.log(p)).sum())
+
+    def tables(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(successors [H, K] int32 in [1, V), logp [K] f32)."""
+        rng = np.random.default_rng(
+            zlib.crc32(f"markov:{self.seed}".encode()))
+        succ = rng.integers(1, self.vocab_size,
+                            size=(self.num_states, self.branching),
+                            dtype=np.int32)
+        w = (np.arange(1, self.branching + 1, dtype=np.float64)
+             ** -self.zipf_s)
+        logp = np.log(w / w.sum()).astype(np.float32)
+        return jnp.asarray(succ), jnp.asarray(logp)
+
+    def hash_coeffs(self) -> Tuple[int, int, int]:
+        rng = np.random.default_rng(
+            zlib.crc32(f"markov-hash:{self.seed}".encode()))
+        a, b, c = rng.integers(1, 2 ** 20, size=3)
+        return int(a) * 2 + 1, int(b) * 2 + 1, int(c)
+
+    def state(self, t2, t1):
+        """State id for trailing tokens (t2 ignored at order 1); works on
+        numpy and jax arrays alike."""
+        a, b, c = self.hash_coeffs()
+        return ((a * t2 if self.order >= 2 else 0) + b * t1 + c
+                ) % self.num_states
+
+
+def markov_sampler(spec: MarkovSpec, batch_size: int, seq_len: int
+                   ) -> Callable[[jax.Array], jax.Array]:
+    """Jitted sampler(key) -> [B, L] int32 token batches from the stream."""
+    succ, logp = spec.tables()
+
+    @jax.jit
+    def sampler(key):
+        k0, k1, key = jax.random.split(key, 3)
+        t2 = jax.random.randint(k0, (batch_size,), 1, spec.vocab_size,
+                                dtype=jnp.int32)
+        t1 = jax.random.randint(k1, (batch_size,), 1, spec.vocab_size,
+                                dtype=jnp.int32)
+
+        def step(carry, k):
+            t2, t1 = carry
+            h = spec.state(t2, t1)
+            idx = jax.random.categorical(
+                k, jnp.broadcast_to(logp, (batch_size, spec.branching)))
+            nxt = succ[h, idx]
+            return (t1, nxt), nxt
+
+        (_, _), toks = jax.lax.scan(step, (t2, t1),
+                                    jax.random.split(key, seq_len - 2))
+        return jnp.concatenate([t2[:, None], t1[:, None], toks.T], axis=1)
+
+    return sampler
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def lm_nll(cfg: ModelConfig, params, tokens: jax.Array) -> jax.Array:
+    """Mean next-token NLL (nats) of the model on [B, L] tokens."""
+    B, L = tokens.shape
+    cache = init_cache(cfg, B, L)
+    logits, _ = forward_step(cfg, params, tokens, cache)
+    logq = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logq, tokens[:, 1:, None], axis=-1)
+    return jnp.mean(nll)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _lm_grad(cfg: ModelConfig, params, tokens):
+    return jax.value_and_grad(lambda p: lm_nll(cfg, p, tokens))(params)
+
+
+def train_lm(cfg: ModelConfig, params,
+             batch_sampler: Callable[[jax.Array], jax.Array],
+             steps: int = 1000,
+             learning_rate: float = 3e-4,
+             warmup: int = 100,
+             key: Optional[jax.Array] = None,
+             log_every: int = 0, log_fn=print):
+    """Pretrain ``params`` on the sampler's stream. Returns (params, nll).
+
+    Plain AdamW + linear warmup, jitted step; the loop is host-side Python
+    (steps is a benchmark-scale number, not a production trainer — one
+    dispatch per step amortizes fine at these model sizes).
+    """
+    import optax
+
+    key = key if key is not None else jax.random.key(0)
+    sched = optax.linear_schedule(0.0, learning_rate, warmup)
+    opt = optax.chain(optax.clip_by_global_norm(1.0),
+                      optax.adamw(lambda i: jnp.where(
+                          i < warmup, sched(i), learning_rate)))
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def opt_step(p, os_, grads):
+        updates, os_ = opt.update(grads, os_, p)
+        return optax.apply_updates(p, updates), os_
+
+    nll = None
+    for i in range(steps):
+        key, k = jax.random.split(key)
+        tokens = batch_sampler(k)
+        nll, grads = _lm_grad(cfg, params, tokens)
+        params, opt_state = opt_step(params, opt_state, grads)
+        if log_every and i % log_every == 0:
+            log_fn(f"lm step {i}: nll={float(nll):.4f}")
+    return params, float(nll) if nll is not None else float("nan")
+
+
+def build_trained_target(cfg: ModelConfig, spec: MarkovSpec,
+                         steps: int = 1000, batch_size: int = 16,
+                         seq_len: int = 128, learning_rate: float = 3e-4,
+                         seed: int = 0, log_every: int = 0, log_fn=print):
+    """(params, final_nll): a cfg-shaped target trained on the stream.
+
+    The yardstick: ``spec.entropy_nats`` is the NLL floor; a target within
+    ~0.3 nats of it has learned essentially all the stream's structure.
+    """
+    from specdec_tpu.core.model import init_params
+
+    params = init_params(cfg, jax.random.key(zlib.crc32(
+        f"pretrain:{seed}".encode())))
+    sampler = markov_sampler(spec, batch_size, seq_len)
+    return train_lm(cfg, params, sampler, steps=steps,
+                    learning_rate=learning_rate,
+                    key=jax.random.key(seed + 1),
+                    log_every=log_every, log_fn=log_fn)
