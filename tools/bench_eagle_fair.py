@@ -1,0 +1,196 @@
+"""The EAGLE fair fight (VERDICT r2 next #3): drafter families on a target
+that has actually LEARNED something.
+
+Builds a mid-size (~250M) target, pretrains it on the structured Markov
+stream (engine/pretrain.py) to near the stream's entropy floor, then
+measures ON CHIP, at the same operating point (sampled, gen 512):
+
+  - AR baseline
+  - EAGLE depth-1 (trained):   chain at gamma sweep + tree topologies
+  - LayerSkip 4-layer prefix (untrained):  chain
+  - distilled standalone 4-layer drafter:  chain
+
+and repeats the EAGLE acceptance probe on an ORDER-2 stream target, where
+the hashed state includes a token the target's features need not retain —
+the recorded crossover condition (features-informative vs not) that decides
+whether feature drafters are viable at all.
+
+Run detached (compiles + two pretrains; ~15-25 min):
+  PYTHONPATH=/root/repo setsid nohup python tools/bench_eagle_fair.py \
+      > /tmp/eagle_fair.log 2>&1 &
+"""
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    from bench import measure_ar, measure_spec
+    from specdec_tpu.core.config import ModelConfig
+    from specdec_tpu.core.eagle import init_eagle_params
+    from specdec_tpu.core.model import init_params
+    from specdec_tpu.engine.distill import distill_drafter
+    from specdec_tpu.engine.eagle_train import (
+        eagle_acceptance_proxy, train_eagle,
+    )
+    from specdec_tpu.engine.pretrain import (
+        MarkovSpec, build_trained_target, markov_sampler,
+    )
+    from specdec_tpu.sampling.eagle_speculative import eagle_generate
+    from specdec_tpu.sampling.eagle_tree import eagle_tree_generate
+    from specdec_tpu.sampling.processors import MultinomialProcessor
+
+    log(f"backend={jax.default_backend()}")
+    GEN = int(os.getenv("FAIR_GEN", "512"))
+    REPS = int(os.getenv("FAIR_REPS", "3"))
+    LM_STEPS = int(os.getenv("FAIR_LM_STEPS", "2500"))
+    E_STEPS = int(os.getenv("FAIR_EAGLE_STEPS", "800"))
+    D_STEPS = int(os.getenv("FAIR_DISTILL_STEPS", "800"))
+
+    if os.getenv("FAIR_SCALE", "full") == "tiny":   # CPU smoke testing
+        V = 256
+        cfg = ModelConfig(
+            vocab_size=V, hidden_size=128, intermediate_size=256,
+            num_layers=4, num_heads=4, num_kv_heads=2, head_dim=32,
+            max_position_embeddings=512, dtype=jnp.float32)
+    else:
+        V = 8192
+        cfg = ModelConfig(
+            vocab_size=V, hidden_size=1024, intermediate_size=2816,
+            num_layers=16, num_heads=16, num_kv_heads=4, head_dim=64,
+            max_position_embeddings=2048, dtype=jnp.bfloat16)
+    spec = MarkovSpec(vocab_size=V, num_states=V, branching=8, zipf_s=1.2,
+                      order=1, seed=11)
+    log(f"stream entropy floor: {spec.entropy_nats:.3f} nats")
+
+    t0 = time.time()
+    target, nll = build_trained_target(
+        cfg, spec, steps=LM_STEPS, batch_size=32, seq_len=128,
+        learning_rate=1e-3, seed=0, log_every=250, log_fn=log)
+    log(f"target pretrained: nll={nll:.3f} "
+        f"(floor {spec.entropy_nats:.3f}) in {time.time() - t0:.0f}s")
+
+    sampler = markov_sampler(spec, 32, 128)
+    probe = sampler(jax.random.key(10_007))
+
+    # --- drafters -----------------------------------------------------
+    e_cfg = cfg.replace(num_layers=1)
+    ep = init_eagle_params(e_cfg, jax.random.key(7))
+    t0 = time.time()
+    ep, e_acc = train_eagle(cfg, target, e_cfg, ep, steps=E_STEPS,
+                            batch_sampler=sampler, learning_rate=1e-3,
+                            key=jax.random.key(8), log_every=200, log_fn=log)
+    log(f"eagle trained: proxy acceptance {e_acc:.3f} "
+        f"in {time.time() - t0:.0f}s")
+
+    DK = max(1, cfg.num_layers // 4)
+    d_cfg = cfg.replace(num_layers=DK)
+    prefix = dict(target)
+    prefix["layers"] = jax.tree.map(lambda x: x[:DK], target["layers"])
+
+    dist = jax.tree.map(lambda x: x, prefix)  # init from prefix, then distill
+    t0 = time.time()
+    dist, d_acc = distill_drafter(cfg, target, d_cfg, dist, steps=D_STEPS,
+                                  batch_sampler=sampler, learning_rate=3e-4,
+                                  key=jax.random.key(9), log_every=200,
+                                  log_fn=log)
+    log(f"distilled 4L drafter: proxy acceptance {d_acc:.3f} "
+        f"in {time.time() - t0:.0f}s")
+
+    from specdec_tpu.engine.distill import acceptance_proxy
+    p_acc, _ = acceptance_proxy(cfg, target, d_cfg, prefix, probe)
+    log(f"untrained 4L prefix: proxy acceptance {float(p_acc):.3f}")
+
+    # --- chip measurements --------------------------------------------
+    prompt = [int(t) for t in np.asarray(sampler(jax.random.key(42)))[0, :32]]
+    proc = MultinomialProcessor(temperature=1.0)
+    results = {"stream_entropy_nats": round(spec.entropy_nats, 4),
+               "target_nll": round(nll, 4),
+               "proxy_acceptance": {"eagle": round(e_acc, 3),
+                                    "distilled4": round(d_acc, 3),
+                                    "prefix4": round(float(p_acc), 3)}}
+
+    ar_tps = measure_ar(cfg, target, prompt, GEN, proc, reps=REPS)
+    results["ar_tps"] = round(ar_tps, 1)
+
+    def time_gen(fn, label):
+        t0 = time.time()
+        out, rate = fn(jax.random.key(100))
+        log(f"{label} compile+run: {time.time() - t0:.1f}s "
+            f"(acceptance {rate:.3f})")
+        times, rates = [], []
+        for i in range(REPS):
+            t0 = time.time()
+            out, rate = fn(jax.random.key(200 + i))
+            times.append(time.time() - t0)
+            rates.append(rate)
+        tps = len(out) / min(times)
+        log(f"{label}: {tps:.0f} tok/s, acceptance "
+            f"{float(np.mean(rates)):.3f}  ({tps / ar_tps:.2f}x AR)")
+        return {"tps": round(tps, 1), "acceptance": round(float(np.mean(rates)), 3),
+                "x_ar": round(tps / ar_tps, 2)}
+
+    for gamma in (4, 6, 8):
+        results[f"eagle_chain_g{gamma}"] = time_gen(
+            lambda k, g=gamma: eagle_generate(
+                prompt, e_cfg, ep, cfg, target, gamma=g, max_gen_len=GEN,
+                logits_processor=proc, eos_tokens_id=(), key=k),
+            f"eagle chain g={gamma}")
+
+    for br in ((4, 2, 2, 1), (3, 2, 2, 2, 1, 1)):
+        results[f"eagle_tree_{'x'.join(map(str, br))}"] = time_gen(
+            lambda k, b=br: eagle_tree_generate(
+                prompt, e_cfg, ep, cfg, target, branching=b, max_gen_len=GEN,
+                logits_processor=proc, eos_tokens_id=(), key=k),
+            f"eagle tree {br}")
+
+    for name, dp in (("prefix4", prefix), ("distilled4", dist)):
+        for gamma in (4, 6):
+            tps, rate = measure_spec(d_cfg, dp, cfg, target, prompt, GEN,
+                                     gamma, proc, reps=REPS)
+            results[f"{name}_chain_g{gamma}"] = {
+                "tps": round(tps, 1), "acceptance": round(rate, 3),
+                "x_ar": round(tps / ar_tps, 2)}
+            log(f"{name} chain g={gamma}: {tps:.0f} tok/s "
+                f"({tps / ar_tps:.2f}x AR, acc {rate:.3f})")
+
+    # --- order-2 crossover probe (acceptance only, no e2e) -------------
+    spec2 = MarkovSpec(vocab_size=V, num_states=V, branching=8, zipf_s=1.2,
+                       order=2, seed=11)
+    t0 = time.time()
+    target2, nll2 = build_trained_target(
+        cfg, spec2, steps=LM_STEPS, batch_size=32, seq_len=128,
+        learning_rate=1e-3, seed=0, log_every=500, log_fn=log)
+    sampler2 = markov_sampler(spec2, 32, 128)
+    ep2 = init_eagle_params(e_cfg, jax.random.key(7))
+    ep2, e2_acc = train_eagle(cfg, target2, e_cfg, ep2, steps=E_STEPS,
+                              batch_sampler=sampler2, learning_rate=1e-3,
+                              key=jax.random.key(8))
+    prefix2 = dict(target2)
+    prefix2["layers"] = jax.tree.map(lambda x: x[:DK], target2["layers"])
+    p2_acc, _ = acceptance_proxy(cfg, target2, d_cfg, prefix2,
+                                 sampler2(jax.random.key(10_007)))
+    log(f"order-2 target (nll {nll2:.3f}, floor {spec2.entropy_nats:.3f}): "
+        f"eagle acceptance {e2_acc:.3f}, prefix4 {float(p2_acc):.3f} "
+        f"({time.time() - t0:.0f}s)")
+    results["order2_crossover"] = {
+        "target_nll": round(nll2, 4),
+        "eagle_acceptance": round(e2_acc, 3),
+        "prefix4_acceptance": round(float(p2_acc), 3)}
+
+    print(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main()
