@@ -173,8 +173,19 @@ class VLLMEngineManager:
                 prefill_chunk=(min(chunk, common["max_prompt_len"])
                                if chunk else None),
                 **common)
-        else:
+        elif os.getenv("SPECDEC_SERVE_ENGINE", "paged") == "slotted":
+            # raw-throughput opt-out: per-slot reserved KV, no pool
             self.batcher = ContinuousBatcher(
+                drafter["cfg"], drafter["params"],
+                bundle["target"]["cfg"], bundle["target"]["params"],
+                **common)
+        else:
+            # default engine = paged (vLLM parity; hybrid drafter layout,
+            # 0.92x slotted warm throughput for pool elasticity — serve/)
+            from specdec_tpu.serve.paged_scheduler import (
+                PagedContinuousBatcher,
+            )
+            self.batcher = PagedContinuousBatcher(
                 drafter["cfg"], drafter["params"],
                 bundle["target"]["cfg"], bundle["target"]["params"],
                 **common)

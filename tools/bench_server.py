@@ -35,6 +35,12 @@ def main():
                     help="model (LayerSkip pair, default) | nasd "
                          "(device n-gram table) | eagle[:depth@steps] "
                          "(feature head, on-policy trained at startup)")
+    ap.add_argument("--engine", default="slotted",
+                    choices=("slotted", "paged"),
+                    help="model-drafter engine: slotted (reserved KV) or "
+                         "paged (hybrid pool, the serve/ default; +prefix "
+                         "caching)")
+    ap.add_argument("--prefix-caching", action="store_true")
     args = ap.parse_args()
     rates = [float(r) for r in args.rates.split(",")]
     log(f"backend={jax.default_backend()} rates={rates} model={args.model}")
@@ -85,6 +91,19 @@ def main():
                 e_cfg, ep, t_cfg, target, num_slots=args.slots,
                 gamma=args.gamma, max_new_tokens=args.gen,
                 windows_per_sync=8, eos_tokens_id=())
+    elif args.engine == "paged":
+        from specdec_tpu.serve.paged_scheduler import PagedContinuousBatcher
+
+        def fresh_batcher():
+            # pool backs every slot at full length (throughput measurement,
+            # not preemption thrash — same setup as tools/bench_paged.py)
+            S = 256 + args.gen + args.gamma + 2
+            return PagedContinuousBatcher(
+                d_cfg, drafter, t_cfg, target, num_slots=args.slots,
+                gamma=args.gamma, max_new_tokens=args.gen,
+                windows_per_sync=8, eos_tokens_id=(), page_size=64,
+                pool_tokens=(args.slots + 1) * S,
+                prefix_caching=args.prefix_caching)
     else:
         def fresh_batcher():
             return ContinuousBatcher(d_cfg, drafter, t_cfg, target,
