@@ -61,8 +61,18 @@ def _eagle_loss_and_grad(cfg: ModelConfig, eagle_params, target_params,
         cache = init_cache(cfg, B, L - 1)
         logits, f_hat, _ = eagle_forward(cfg, ep, target_params,
                                          tokens[:, 1:], feats[:, :-1], cache)
+        # regression in UNITS OF THE TARGET'S FEATURE SCALE: trained
+        # checkpoints grow large pre-final-norm residuals (measured: raw
+        # smooth-L1 of 117 vs a 13-nat cls term on a pretrained 250M
+        # target, burying the classification signal that acceptance
+        # actually measures). Per-position RMS normalization makes reg
+        # O(1) for any target, restoring the EAGLE-paper loss balance.
+        f_true = feats[:, 1:].astype(jnp.float32)
+        rms = jax.lax.stop_gradient(
+            jnp.sqrt(jnp.mean(f_true * f_true, axis=-1, keepdims=True)
+                     + 1e-6))
         reg = jnp.mean(_smooth_l1(
-            f_hat.astype(jnp.float32) - feats[:, 1:].astype(jnp.float32)))
+            (f_hat.astype(jnp.float32) - f_true) / rms))
         logq = jax.nn.log_softmax(logits, axis=-1)
         cls = -jnp.mean(jnp.sum(probs[:, 1:] * logq, axis=-1))
         return reg + cls_weight * cls, (reg, cls)

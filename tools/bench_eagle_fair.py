@@ -54,8 +54,8 @@ def main():
     log(f"backend={jax.default_backend()}")
     GEN = int(os.getenv("FAIR_GEN", "512"))
     REPS = int(os.getenv("FAIR_REPS", "3"))
-    LM_STEPS = int(os.getenv("FAIR_LM_STEPS", "2500"))
-    E_STEPS = int(os.getenv("FAIR_EAGLE_STEPS", "800"))
+    LM_STEPS = int(os.getenv("FAIR_LM_STEPS", "4000"))
+    E_STEPS = int(os.getenv("FAIR_EAGLE_STEPS", "1500"))
     D_STEPS = int(os.getenv("FAIR_DISTILL_STEPS", "800"))
 
     if os.getenv("FAIR_SCALE", "full") == "tiny":   # CPU smoke testing
@@ -166,11 +166,16 @@ def main():
                 f"({tps / ar_tps:.2f}x AR, acc {rate:.3f})")
 
     # --- order-2 crossover probe (acceptance only, no e2e) -------------
-    spec2 = MarkovSpec(vocab_size=V, num_states=V, branching=8, zipf_s=1.2,
-                       order=2, seed=11)
+    # fewer states + longer training: at num_states=V the order-2 hash
+    # memorization never groks in LM_STEPS (first run: nll 8.92 ≈ log V,
+    # and a near-uniform target is trivially mimicable — probe useless).
+    # The probe needs a LEARNED order-2 target whose features need not
+    # retain t_{j-1}.
+    spec2 = MarkovSpec(vocab_size=V, num_states=max(256, V // 4),
+                       branching=8, zipf_s=1.2, order=2, seed=11)
     t0 = time.time()
     target2, nll2 = build_trained_target(
-        cfg, spec2, steps=LM_STEPS, batch_size=32, seq_len=128,
+        cfg, spec2, steps=2 * LM_STEPS, batch_size=32, seq_len=128,
         learning_rate=1e-3, seed=0, log_every=500, log_fn=log)
     sampler2 = markov_sampler(spec2, 32, 128)
     ep2 = init_eagle_params(e_cfg, jax.random.key(7))
