@@ -24,6 +24,8 @@ from __future__ import annotations
 from functools import partial
 from typing import Callable, Optional, Tuple
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 
@@ -48,33 +50,52 @@ def _smooth_l1(x: jax.Array, beta: float = 1.0) -> jax.Array:
     return jnp.where(ax < beta, 0.5 * ax * ax / beta, ax - 0.5 * beta)
 
 
-@partial(jax.jit, static_argnames=("cfg", "cls_weight"))
+@partial(jax.jit, static_argnames=("cfg", "cls_weight", "rollout_steps"))
 def _eagle_loss_and_grad(cfg: ModelConfig, eagle_params, target_params,
-                         tokens, feats, probs, cls_weight: float = 0.1):
-    """Teacher-forced loss over pairs (f_j, t_{j+1}) -> (f_{j+1}, p_{j+1}).
+                         tokens, feats, probs, cls_weight: float = 0.1,
+                         rollout_steps: int = 1):
+    """Teacher-forced loss over pairs (f_j, t_{j+1}) -> (f_{j+1}, p_{j+1}),
+    optionally unrolled onto the drafter's OWN predicted features.
 
     tokens [B, L]; feats/probs [B, L, ...] from ``teacher_feats_probs``.
+
+    ``rollout_steps > 1`` adds HASS-style multi-step alignment (PAPERS.md;
+    Zhang et al. 2024): pass k>=2 re-feeds the previous pass's predicted
+    features (stop-gradient, at their true rope positions) so the head is
+    trained under the distribution it actually sees at draft step k — pure
+    teacher forcing measured 0.52 proxy acceptance but only 0.11 rollout
+    acceptance on the pretrained 250M arena target (feature drift).
     """
     B, L = tokens.shape
 
     def loss_fn(ep):
-        cache = init_cache(cfg, B, L - 1)
-        logits, f_hat, _ = eagle_forward(cfg, ep, target_params,
-                                         tokens[:, 1:], feats[:, :-1], cache)
-        # regression in UNITS OF THE TARGET'S FEATURE SCALE: trained
-        # checkpoints grow large pre-final-norm residuals (measured: raw
-        # smooth-L1 of 117 vs a 13-nat cls term on a pretrained 250M
-        # target, burying the classification signal that acceptance
-        # actually measures). Per-position RMS normalization makes reg
-        # O(1) for any target, restoring the EAGLE-paper loss balance.
-        f_true = feats[:, 1:].astype(jnp.float32)
-        rms = jax.lax.stop_gradient(
-            jnp.sqrt(jnp.mean(f_true * f_true, axis=-1, keepdims=True)
-                     + 1e-6))
-        reg = jnp.mean(_smooth_l1(
-            (f_hat.astype(jnp.float32) - f_true) / rms))
-        logq = jax.nn.log_softmax(logits, axis=-1)
-        cls = -jnp.mean(jnp.sum(probs[:, 1:] * logq, axis=-1))
+        total_reg = 0.0
+        total_cls = 0.0
+        f_in = feats[:, :-1]
+        for k in range(1, rollout_steps + 1):
+            cache = init_cache(cfg, B, L)
+            if k > 1:  # pairs sit at true positions k-1 .. L-2
+                cache = dataclasses.replace(
+                    cache, length=jnp.full((B,), k - 1, jnp.int32))
+            logits, f_hat, _ = eagle_forward(cfg, ep, target_params,
+                                             tokens[:, k:], f_in, cache)
+            # regression in UNITS OF THE TARGET'S FEATURE SCALE: trained
+            # checkpoints grow large pre-final-norm residuals (measured:
+            # raw smooth-L1 of 117 vs a 13-nat cls term on a pretrained
+            # 250M target, burying the classification signal that
+            # acceptance actually measures). Per-position RMS
+            # normalization makes reg O(1) for any target.
+            f_true = feats[:, k:].astype(jnp.float32)
+            rms = jax.lax.stop_gradient(
+                jnp.sqrt(jnp.mean(f_true * f_true, axis=-1, keepdims=True)
+                         + 1e-6))
+            total_reg += jnp.mean(_smooth_l1(
+                (f_hat.astype(jnp.float32) - f_true) / rms))
+            logq = jax.nn.log_softmax(logits, axis=-1)
+            total_cls += -jnp.mean(jnp.sum(probs[:, k:] * logq, axis=-1))
+            f_in = jax.lax.stop_gradient(f_hat[:, :-1]).astype(feats.dtype)
+        reg = total_reg / rollout_steps
+        cls = total_cls / rollout_steps
         return reg + cls_weight * cls, (reg, cls)
 
     (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(eagle_params)
@@ -112,6 +133,7 @@ def train_eagle(
     seq_len: int = 128,
     learning_rate: float = 1e-3,
     cls_weight: float = 0.1,
+    rollout_steps: int = 1,
     batch_sampler: Optional[Callable[[jax.Array], jax.Array]] = None,
     key: Optional[jax.Array] = None,
     log_every: int = 0,
@@ -146,7 +168,7 @@ def train_eagle(
         feats, probs = teacher_feats_probs(t_cfg, target_params, tokens)
         loss, (reg, cls), grads = _eagle_loss_and_grad(
             eagle_cfg, eagle_params, target_params, tokens, feats, probs,
-            cls_weight=cls_weight)
+            cls_weight=cls_weight, rollout_steps=rollout_steps)
         eagle_params, opt_state = opt_step(eagle_params, opt_state, grads)
         if log_every and i % log_every == 0:
             acc, agree = eagle_acceptance_proxy(

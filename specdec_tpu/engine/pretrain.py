@@ -95,10 +95,26 @@ class MarkovSpec:
 
     def state(self, t2, t1):
         """State id for trailing tokens (t2 ignored at order 1); works on
-        numpy and jax arrays alike."""
+        numpy and jax arrays alike.
+
+        Order 2 is COMPOSITIONAL — bucket(t1) x (t2 mod 16) — rather than a
+        full multiplicative mix of both tokens: modular two-token hashing is
+        modular arithmetic a transformer must grok, which never happened at
+        V=8192 in 8k steps (measured nll 8.5 ≈ log V; at V=128 it takes most
+        of the training run). The compositional form is learnable at scale
+        yet keeps the property the order-2 arena exists for: predicting
+        step j+2 needs 4 bits of t_j that the target's final feature is NOT
+        required to retain (its own prediction at j+1 uses t_{j-1}'s bits,
+        and bucket(t_j) does not determine t_j mod 16) — so feature-drafter
+        acceptance measures whether trained features retain extra token
+        information beyond the minimal sufficient statistic.
+        """
         a, b, c = self.hash_coeffs()
-        return ((a * t2 if self.order >= 2 else 0) + b * t1 + c
-                ) % self.num_states
+        if self.order == 1:
+            return (b * t1 + c) % self.num_states
+        R = min(16, self.num_states)
+        bucket = (b * t1 + c) % (self.num_states // R)
+        return bucket * R + t2 % R
 
 
 def markov_sampler(spec: MarkovSpec, batch_size: int, seq_len: int

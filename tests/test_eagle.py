@@ -181,3 +181,19 @@ def test_teacher_feats_probs_consistency(models):
     assert logits is not None
     np.testing.assert_allclose(np.asarray(jax.nn.softmax(logits, -1)),
                                np.asarray(probs), rtol=1e-4, atol=1e-5)
+
+
+def test_eagle_rollout_training_runs_and_lifts(models):
+    """HASS-style multi-step training (rollout_steps=2): the unrolled loss
+    must train at least as well as a short teacher-forced run from the same
+    init (it optimizes the deployed conditioning directly). Positions of
+    pass k>=2 sit at their TRUE rope offsets (k-1..L-2)."""
+    target, eagle0 = models
+    probe = jax.random.randint(jax.random.key(99), (4, 48), 1, VOCAB)
+    acc0, _ = eagle_acceptance_proxy(CFG, ECFG, eagle0, target, probe)
+    trained, acc = train_eagle(
+        CFG, target, ECFG, eagle0, steps=200, batch_size=8, seq_len=48,
+        learning_rate=5e-3, cls_weight=1.0, rollout_steps=2,
+        key=jax.random.key(11))
+    assert np.isfinite(acc)
+    assert acc > float(acc0) + 0.1, (acc, float(acc0))

@@ -88,8 +88,10 @@ def main():
     e_cfg = cfg.replace(num_layers=1)
     ep = init_eagle_params(e_cfg, jax.random.key(7))
     t0 = time.time()
+    ROLLOUT = int(os.getenv("FAIR_ROLLOUT", "3"))
     ep, e_acc = train_eagle(cfg, target, e_cfg, ep, steps=E_STEPS,
                             batch_sampler=sampler, learning_rate=1e-3,
+                            rollout_steps=ROLLOUT,
                             key=jax.random.key(8), log_every=200, log_fn=log)
     log(f"eagle trained: proxy acceptance {e_acc:.3f} "
         f"in {time.time() - t0:.0f}s")
@@ -181,7 +183,7 @@ def main():
     ep2 = init_eagle_params(e_cfg, jax.random.key(7))
     ep2, e2_acc = train_eagle(cfg, target2, e_cfg, ep2, steps=E_STEPS,
                               batch_sampler=sampler2, learning_rate=1e-3,
-                              key=jax.random.key(8))
+                              rollout_steps=ROLLOUT, key=jax.random.key(8))
     prefix2 = dict(target2)
     prefix2["layers"] = jax.tree.map(lambda x: x[:DK], target2["layers"])
     p2_acc, _ = acceptance_proxy(cfg, target2, d_cfg, prefix2,
