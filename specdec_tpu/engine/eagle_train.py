@@ -24,8 +24,6 @@ from __future__ import annotations
 from functools import partial
 from typing import Callable, Optional, Tuple
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 
@@ -61,10 +59,11 @@ def _eagle_loss_and_grad(cfg: ModelConfig, eagle_params, target_params,
 
     ``rollout_steps > 1`` adds HASS-style multi-step alignment (PAPERS.md;
     Zhang et al. 2024): pass k>=2 re-feeds the previous pass's predicted
-    features (stop-gradient, at their true rope positions) so the head is
-    trained under the distribution it actually sees at draft step k — pure
-    teacher forcing measured 0.52 proxy acceptance but only 0.11 rollout
-    acceptance on the pretrained 250M arena target (feature drift).
+    features (stop-gradient) so the head is trained under the distribution
+    it actually sees at draft step k — pure teacher forcing measured 0.52
+    proxy acceptance but only 0.11 rollout acceptance on the pretrained
+    250M arena target (feature drift); on the tiny CPU arena rollout=3
+    lifts e2e acceptance 0.43 -> 0.66 at equal step count.
     """
     B, L = tokens.shape
 
@@ -73,10 +72,14 @@ def _eagle_loss_and_grad(cfg: ModelConfig, eagle_params, target_params,
         total_cls = 0.0
         f_in = feats[:, :-1]
         for k in range(1, rollout_steps + 1):
-            cache = init_cache(cfg, B, L)
-            if k > 1:  # pairs sit at true positions k-1 .. L-2
-                cache = dataclasses.replace(
-                    cache, length=jnp.full((B,), k - 1, jnp.int32))
+            # every pass starts at cache position 0: rope attention depends
+            # only on position DIFFERENCES, so the uniform (k-1)-shift vs
+            # absolute positions is exactly equivalent — while an offset
+            # cache would leave k-1 unwritten ZERO K/V slots below the
+            # block that every query attends to (a train/deploy attention
+            # mismatch that collapsed rollout acceptance 0.114 -> 0.022 on
+            # chip before this was caught)
+            cache = init_cache(cfg, B, L - k)
             logits, f_hat, _ = eagle_forward(cfg, ep, target_params,
                                              tokens[:, k:], f_in, cache)
             # regression in UNITS OF THE TARGET'S FEATURE SCALE: trained
