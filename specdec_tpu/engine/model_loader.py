@@ -135,6 +135,40 @@ def _synthetic(name: str, dtype, quantization: str = "none") -> Dict[str, Any]:
     return {"cfg": cfg, "params": params}
 
 
+def _trained(name: str, dtype, quantization: str = "none") -> Dict[str, Any]:
+    """``trained:<preset>[@<steps>]`` — a preset-shaped target PRETRAINED at
+    load time on the structured Markov stream (engine/pretrain.py), for
+    drafter evaluation on a model whose conditionals are actually learnable
+    (random-weight synthetics are structurally hostile to feature drafters —
+    docs/BENCHMARKS.md round 3). Trains at load like ``eagle:<d>@<steps>``
+    trains its head at startup; the stream spec rides in the bundle
+    (``stream_spec``) so callers can sample in-distribution prompts."""
+    import zlib
+
+    from specdec_tpu.engine.pretrain import MarkovSpec, build_trained_target
+
+    spec_str = name.split(":", 1)[1]
+    preset, _, steps = spec_str.partition("@")
+    if preset not in SYNTHETIC_PRESETS:
+        raise ValueError(f"unknown preset {preset!r} in {name!r}; "
+                         f"choose from {sorted(SYNTHETIC_PRESETS)}")
+    cfg = ModelConfig(dtype=dtype, **SYNTHETIC_PRESETS[preset])
+    stream = MarkovSpec(vocab_size=cfg.vocab_size,
+                        num_states=min(cfg.vocab_size, 8192), branching=8,
+                        zipf_s=1.2, order=1,
+                        seed=zlib.crc32(preset.encode()) % (2 ** 31))
+    params, nll = build_trained_target(
+        cfg, stream, steps=int(steps or 2000), batch_size=32, seq_len=128,
+        learning_rate=1e-3, seed=zlib.crc32(name.encode()) % (2 ** 31))
+    out = {"cfg": cfg, "params": params, "stream_spec": stream,
+           "pretrain_nll": nll}
+    if quantization != "none":
+        from specdec_tpu.quant import quantize_params
+        out["params"] = quantize_params(params, kind=quantization, fuse=True)
+        out["quantized"] = quantization
+    return out
+
+
 def load_models(
     target_model_path: str,
     drafter_model_path: Optional[str] = None,
@@ -151,6 +185,8 @@ def load_models(
     def load_one(path, quant="none"):
         if path.startswith("synthetic"):
             return _synthetic(path, dtype, quantization=quant), None
+        if path.startswith("trained"):
+            return _trained(path, dtype, quantization=quant), None
         # encoder-decoder checkpoints route to the codec model family
         from transformers import AutoConfig
         hf_cfg = AutoConfig.from_pretrained(path)

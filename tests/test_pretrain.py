@@ -88,3 +88,21 @@ def test_eagle_gets_real_acceptance_on_trained_target(trained):
                           key=jax.random.key(8))
     assert acc >= 0.5, acc
     assert acc - float(acc0) > 0.3, (float(acc0), acc)
+
+
+def test_trained_loader_spec():
+    """``trained:<preset>@<steps>`` pretrains a preset-shaped target on the
+    Markov stream at load and pairs with drafter specs like any other
+    target; the stream spec rides in the bundle for in-distribution
+    prompting."""
+    from specdec_tpu.engine.model_loader import load_models
+
+    b = load_models("trained:tiny@100", drafter_model_path="layerskip:1",
+                    dtype=jnp.float32)
+    t = b["target"]
+    assert np.isfinite(t["pretrain_nll"])
+    # below random init (~log V) — it trained (full convergence is the
+    # chip bench's job; this is plumbing coverage)
+    assert t["pretrain_nll"] < np.log(t["cfg"].vocab_size) - 0.4
+    assert t["stream_spec"].entropy_nats < t["pretrain_nll"]
+    assert b["drafter"]["cfg"].num_layers == 1
