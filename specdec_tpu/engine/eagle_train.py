@@ -151,7 +151,11 @@ def train_eagle(
     import optax
 
     key = key if key is not None else jax.random.key(0)
-    opt = optax.adam(learning_rate)
+    # cosine decay to 0.1x: constant-LR adam oscillates near convergence
+    # (measured on the 250M arena: proxy 0.52 at step 1400, 0.35 at the
+    # final eval 100 steps later)
+    opt = optax.adam(optax.cosine_decay_schedule(
+        learning_rate, max(steps, 1), alpha=0.1))
     opt_state = opt.init(eagle_params)
 
     if batch_sampler is None:

@@ -55,8 +55,28 @@ def main():
     GEN = int(os.getenv("FAIR_GEN", "512"))
     REPS = int(os.getenv("FAIR_REPS", "3"))
     LM_STEPS = int(os.getenv("FAIR_LM_STEPS", "4000"))
-    E_STEPS = int(os.getenv("FAIR_EAGLE_STEPS", "1500"))
+    E_STEPS = int(os.getenv("FAIR_EAGLE_STEPS", "6000"))
     D_STEPS = int(os.getenv("FAIR_DISTILL_STEPS", "800"))
+
+    def cached_target(cfg, spec, tag):
+        """Pretrain once per (tag, LM_STEPS); later runs of this TOOL reuse
+        the params from /tmp (iterating on drafter training shouldn't pay
+        ~10 chip-minutes of LM pretraining per run)."""
+        import pickle
+        cache = f"/tmp/fair_target_{tag}_{LM_STEPS}.pkl"
+        if os.path.exists(cache) and not os.getenv("FAIR_NO_CACHE"):
+            with open(cache, "rb") as f:
+                blob = pickle.load(f)
+            params = jax.tree.map(jnp.asarray, blob["params"])
+            log(f"target[{tag}] loaded from {cache} (nll {blob['nll']:.3f})")
+            return params, blob["nll"]
+        params, nll = build_trained_target(
+            cfg, spec, steps=LM_STEPS, batch_size=32, seq_len=128,
+            learning_rate=1e-3, seed=0, log_every=500, log_fn=log)
+        with open(cache, "wb") as f:
+            pickle.dump({"params": jax.tree.map(np.asarray, params),
+                         "nll": nll}, f)
+        return params, nll
 
     if os.getenv("FAIR_SCALE", "full") == "tiny":   # CPU smoke testing
         V = 256
@@ -75,9 +95,7 @@ def main():
     log(f"stream entropy floor: {spec.entropy_nats:.3f} nats")
 
     t0 = time.time()
-    target, nll = build_trained_target(
-        cfg, spec, steps=LM_STEPS, batch_size=32, seq_len=128,
-        learning_rate=1e-3, seed=0, log_every=250, log_fn=log)
+    target, nll = cached_target(cfg, spec, "order1")
     log(f"target pretrained: nll={nll:.3f} "
         f"(floor {spec.entropy_nats:.3f}) in {time.time() - t0:.0f}s")
 
@@ -176,9 +194,9 @@ def main():
     spec2 = MarkovSpec(vocab_size=V, num_states=max(256, V // 4),
                        branching=8, zipf_s=1.2, order=2, seed=11)
     t0 = time.time()
-    target2, nll2 = build_trained_target(
-        cfg, spec2, steps=2 * LM_STEPS, batch_size=32, seq_len=128,
-        learning_rate=1e-3, seed=0, log_every=500, log_fn=log)
+    LM_STEPS *= 2
+    target2, nll2 = cached_target(cfg, spec2, "order2")
+    LM_STEPS //= 2
     sampler2 = markov_sampler(spec2, 32, 128)
     ep2 = init_eagle_params(e_cfg, jax.random.key(7))
     ep2, e2_acc = train_eagle(cfg, target2, e_cfg, ep2, steps=E_STEPS,

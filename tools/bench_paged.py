@@ -87,7 +87,8 @@ def microbench(q, kp, vp, table, off, Hk, iters=50):
     return kern, orac
 
 
-def bench_serving(paged: bool, n_requests=16, slots=8, gen=128, gamma=8):
+def bench_serving(paged: bool, n_requests=16, slots=8, gen=128, gamma=8,
+                  kv_quant="none"):
     from specdec_tpu.core.config import ModelConfig
     from specdec_tpu.core.model import init_params
     from specdec_tpu.serve.scheduler import ContinuousBatcher
@@ -97,7 +98,8 @@ def bench_serving(paged: bool, n_requests=16, slots=8, gen=128, gamma=8):
     t_cfg = ModelConfig(vocab_size=V, hidden_size=2048, intermediate_size=5632,
                         num_layers=22, num_heads=32, num_kv_heads=4,
                         head_dim=64, max_position_embeddings=2048,
-                        rope_theta=10000.0, dtype=jnp.bfloat16)
+                        rope_theta=10000.0, dtype=jnp.bfloat16,
+                        kv_quant=kv_quant)
     d_cfg = t_cfg.replace(num_layers=4)
     base = init_params(t_cfg, jax.random.key(0), scale=0.02)
     mask = (jnp.arange(t_cfg.num_layers) >= 4).astype(jnp.float32)
@@ -128,7 +130,7 @@ def bench_serving(paged: bool, n_requests=16, slots=8, gen=128, gamma=8):
                                    pool_tokens=(slots + 1) * S, **kw)
     else:
         b = ContinuousBatcher(d_cfg, drafter, t_cfg, target, **kw)
-    label = "paged" if paged else "slotted"
+    label = ("paged" if paged else "slotted") + (f"+kv-{kv_quant}" if kv_quant != "none" else "")
     for rnd in ("cold", "warm"):   # first pass pays window-program compiles
         for p in prompts:
             b.submit(p, max_new_tokens=gen)
@@ -150,6 +152,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-serve", action="store_true")
     ap.add_argument("--skip-kernel", action="store_true")
+    ap.add_argument("--kv-quant", default="none", choices=("none", "int8"))
     args = ap.parse_args()
     log(f"backend={jax.default_backend()}")
 
@@ -171,8 +174,8 @@ def main():
 
     if not args.skip_serve:
         log("=== part 3: serving bench (B=8 slots, 16 reqs, gen 128) ===")
-        slotted = bench_serving(paged=False)
-        paged = bench_serving(paged=True)
+        slotted = bench_serving(paged=False, kv_quant=args.kv_quant)
+        paged = bench_serving(paged=True, kv_quant=args.kv_quant)
         log(f"paged/slotted aggregate ratio: {paged / slotted:.2f}")
 
     print('{"ok": true}')
