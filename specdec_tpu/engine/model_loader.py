@@ -335,6 +335,9 @@ def load_models(
                     t_cfg, target["params"], e_cfg, e_params, steps=steps,
                     batch_size=int(os.getenv("EAGLE_TRAIN_BATCH", "8")),
                     seq_len=int(os.getenv("EAGLE_TRAIN_SEQ", "128")),
+                    # HASS-style multi-step alignment (eagle_train.py) —
+                    # deployed acceptance is rollout acceptance
+                    rollout_steps=int(os.getenv("EAGLE_ROLLOUT", "3")),
                     key=jax.random.key(seed + 1))
                 print(f"eagle drafter trained {steps} steps: "
                       f"teacher-forced acceptance proxy {acc:.3f}")
