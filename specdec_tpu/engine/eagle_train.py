@@ -57,8 +57,8 @@ def _eagle_loss_and_grad(cfg: ModelConfig, eagle_params, target_params,
 
     tokens [B, L]; feats/probs [B, L, ...] from ``teacher_feats_probs``.
 
-    ``rollout_steps > 1`` adds HASS-style multi-step alignment (PAPERS.md;
-    Zhang et al. 2024): pass k>=2 re-feeds the previous pass's predicted
+    ``rollout_steps > 1`` adds multi-step alignment in the spirit of HASS
+    (Zhang et al., 2024, arXiv:2408.15766): pass k>=2 re-feeds the previous pass's predicted
     features (stop-gradient) so the head is trained under the distribution
     it actually sees at draft step k — pure teacher forcing measured 0.52
     proxy acceptance but only 0.11 rollout acceptance on the pretrained
