@@ -94,6 +94,15 @@ class ShardReader:
     def __call__(self, name: str) -> np.ndarray:
         return self._open(self._where[name]).get_tensor(name)
 
+    def slice_rows(self, name: str, start: int, stop: int) -> np.ndarray:
+        """Read rows [start, stop) of a 2D tensor WITHOUT materializing the
+        rest — vocab-sized matrices (embed/lm_head, ~1 GB at 8B) stream
+        through in row slices so the full tensor never exists on host."""
+        return self._open(self._where[name]).get_slice(name)[start:stop]
+
+    def rows(self, name: str) -> int:
+        return self._open(self._where[name]).get_slice(name).get_shape()[0]
+
     def close(self):
         self._handles.clear()
 
@@ -165,8 +174,17 @@ def load_hf_streamed(path: str, dtype=jnp.bfloat16, quantization: str = "none",
     # transfer), so streaming bf16 layers to a device-side quantizer pins
     # the full dense model in host RAM. Quantize-then-transfer pins only the
     # quantized bytes.
-    qfn: Optional[Callable] = (None if quantization == "none"
-                               else HOST_QUANTIZERS[quantization])
+    # chunked along output columns (bit-identical, see quantize_np_chunked):
+    # whole-matrix quantization of the 8B lm_head spiked host RSS +11 GB in
+    # simultaneous f32/uint32 intermediates
+    from specdec_tpu.quant.host import quantize_np_chunked
+    # chunk_cols=2048 bounds each f32/uint32 quantizer intermediate to
+    # ~34 MB at 8B shapes (the int4 chain holds ~6 simultaneously; at 8192
+    # columns the layer-phase RSS high-water carried an extra ~0.8 GB)
+    qfn: Optional[Callable] = (
+        None if quantization == "none"
+        else partial(quantize_np_chunked, HOST_QUANTIZERS[quantization],
+                     chunk_cols=2048))
 
     def prep(lay):
         # cast raw leaves to the model dtype first — norms/biases (and the
@@ -198,20 +216,43 @@ def load_hf_streamed(path: str, dtype=jnp.bfloat16, quantization: str = "none",
         stacked = write_layer(
             stacked, prep(_llama_layer_np(read, i, cfg, mt)), jnp.int32(i))
 
+    # vocab-sized matrices stream through in DISK-ROW slices (ShardReader.
+    # slice_rows): the full ~1 GB tensor never exists on host — measured
+    # phases of the 8B load put the embed/head tail at +3 GB RSS when
+    # whole tensors were read/contiguized first (pins are unavoidable on
+    # the tunneled client; transients are not)
+    ROWS = 8192
+
+    def transfer_embed(name):
+        V = read.rows(name)
+        parts = [jnp.asarray(
+            read.slice_rows(name, s, min(s + ROWS, V)).astype(
+                np_dtype, copy=False))
+            for s in range(0, V, ROWS)]
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
+
     norm = read("model.norm.weight")
     if mt == "gemma":
         norm = norm.astype(np.float32) + 1.0
     params: Params = {
-        "embed": jnp.asarray(read("model.embed_tokens.weight").astype(np_dtype)),
+        "embed": transfer_embed("model.embed_tokens.weight"),
         "layers": stacked,
         "final_norm_w": jnp.asarray(norm.astype(np_dtype)),
     }
     if not cfg.tie_embeddings:
-        head = np.ascontiguousarray(
-            np.swapaxes(read("lm_head.weight"), 0, 1)).astype(np_dtype)
-        if qfn is not None:
-            params["lm_head"] = jax.tree.map(jnp.asarray, qfn(head))
-        else:
-            params["lm_head"] = jnp.asarray(head)
+        # head wants [D, V]: disk-row slices of the [V, D] tensor ARE its
+        # column chunks after a transpose; quantize each slice (the chunked
+        # wrapper passes small-N inputs straight through) or transfer dense
+        V = read.rows("lm_head.weight")
+        parts = []
+        for s in range(0, V, ROWS):
+            sl = np.swapaxes(
+                read.slice_rows("lm_head.weight", s, min(s + ROWS, V)),
+                0, 1)
+            parts.append(jax.tree.map(jnp.asarray, qfn(sl)) if qfn is not None
+                         else jnp.asarray(np.ascontiguousarray(sl).astype(
+                             np_dtype, copy=False)))
+        params["lm_head"] = (parts[0] if len(parts) == 1 else jax.tree.map(
+            lambda *xs: jnp.concatenate(xs, axis=-1), *parts))
     read.close()
     return cfg, params

@@ -114,3 +114,25 @@ def quantize_layer_dict_np(layers: dict, fn, fuse: bool) -> dict:
         if name in layers:
             layers[name] = fn(layers[name])
     return layers
+
+
+def quantize_np_chunked(fn, w: np.ndarray, chunk_cols: int = 8192):
+    """``fn(w)`` computed in output-column slices, bit-identical to the
+    whole-matrix call: every host quantizer is per-output-column independent
+    (int8 reduces absmax over K per column; the 4-bit schemes block along K
+    per column), so slicing the trailing N axis changes nothing.
+
+    Why: whole-matrix quantization of an 8B lm_head ([4096, 128256])
+    materializes several ~2.1 GB f32/uint32 intermediates simultaneously —
+    measured +11 GB host RSS spike at the end of the 8B streamed load.
+    Chunking bounds the transient to ~chunk_cols/N of that; the assembled
+    container (packed codes + scales) is small.
+    """
+    N = w.shape[-1]
+    if N <= chunk_cols:
+        return fn(w)
+    parts = [fn(w[..., s:s + chunk_cols]) for s in range(0, N, chunk_cols)]
+    # containers are registered pytrees with array leaves; concat leafwise
+    import jax
+    return jax.tree.map(
+        lambda *xs: np.concatenate(xs, axis=-1), *parts)

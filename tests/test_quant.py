@@ -390,3 +390,20 @@ def test_host_quantizers_match_device():
             else:
                 np.testing.assert_allclose(b, a, rtol=1e-6,
                                            err_msg=f"{name}{k}")
+
+
+def test_chunked_host_quantization_bit_identical():
+    """quantize_np_chunked == whole-matrix call for every scheme (the
+    streamed loader quantizes the lm_head in column chunks to bound host
+    transients; all four quantizers are per-output-column independent)."""
+    from specdec_tpu.quant.host import HOST_QUANTIZERS, quantize_np_chunked
+
+    rng = np.random.default_rng(5)
+    w = (rng.standard_normal((256, 300), dtype=np.float32) * 3).astype(
+        np.float32)
+    for kind, fn in HOST_QUANTIZERS.items():
+        whole = fn(w)
+        chunked = quantize_np_chunked(fn, w, chunk_cols=64)  # 300 % 64 != 0
+        for a, b in zip(jax.tree.leaves(whole), jax.tree.leaves(chunked)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=kind)
