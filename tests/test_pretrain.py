@@ -83,8 +83,11 @@ def test_eagle_gets_real_acceptance_on_trained_target(trained):
     toks = sampler(jax.random.key(10_007))
     acc0, _ = eagle_acceptance_proxy(CFG, e_cfg, ep, target, toks)
 
+    # cosine decay (train_eagle default) halves the average step size, so
+    # the base LR is 2e-3 where the pre-decay schedule used 1e-3 (1e-3 under
+    # decay lands at 0.49 — right at the assertion edge; 2e-3 reaches 0.82)
     ep, acc = train_eagle(CFG, target, e_cfg, ep, steps=250,
-                          batch_sampler=sampler, learning_rate=1e-3,
+                          batch_sampler=sampler, learning_rate=2e-3,
                           key=jax.random.key(8))
     assert acc >= 0.5, acc
     assert acc - float(acc0) > 0.3, (float(acc0), acc)
