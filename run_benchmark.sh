@@ -18,8 +18,47 @@ echo "Project directory: $PROJECT_DIR"
 # ----------------------------------------------------------------------------
 # Mesh shape: TP_SIZE x DP_SIZE must equal the number of visible TPU chips.
 # 0 means "auto" (all chips on the tensor axis).
+#
+# MESH_STRATEGY maps the reference's GPU placement strategies
+# (ref: run_benchmark.sh:71-140 — multi_gpu_ratio / separate / same /
+# shared_all / auto) onto the TPU device mesh. On TPU the equivalents are
+# mesh shapes, not device lists: the target is tensor-sharded over the
+# 'model' axis and the small drafter is REPLICATED on every chip
+# (parallel/mesh.py) — replication is the TPU answer to the reference's
+# 7:1 GPU ratio split, because a replicated drafter needs no collectives
+# and drafts in lock-step with its shard of the batch.
+#
+#   shared_all  all chips on the tensor axis (TP=n, DP=1). Both models see
+#               every chip — the analog of the reference's default 8:8.
+#   ratio       target TP over TP_SIZE chips, batch DP over the rest
+#               (TP_SIZE x DP_SIZE = n). The analog of multi_gpu_ratio —
+#               set TP_SIZE to the "target share" (e.g. TP_SIZE=4 DP_SIZE=2
+#               on 8 chips).
+#   same        single chip (TP=1, DP=1): target and drafter co-resident,
+#               the reference's "same"/"separate" collapse to this on TPU
+#               (there is no cross-chip model handoff worth paying for).
+#   auto        TP_SIZE=0 -> all visible chips on the tensor axis.
+export MESH_STRATEGY=${MESH_STRATEGY:-"auto"}
 export TP_SIZE=${TP_SIZE:-0}
 export DP_SIZE=${DP_SIZE:-0}
+
+case $MESH_STRATEGY in
+    "shared_all")
+        export TP_SIZE=0  DP_SIZE=1
+        echo "Mesh strategy: shared_all (all chips on the tensor axis)" ;;
+    "ratio")
+        if [ "$TP_SIZE" = "0" ]; then
+            echo "ERROR: MESH_STRATEGY=ratio needs explicit TP_SIZE (and DP_SIZE)"; exit 1
+        fi
+        echo "Mesh strategy: ratio (TP=$TP_SIZE x DP=$DP_SIZE)" ;;
+    "same")
+        export TP_SIZE=1  DP_SIZE=1
+        echo "Mesh strategy: same (single chip)" ;;
+    "auto")
+        echo "Mesh strategy: auto (TP_SIZE=$TP_SIZE DP_SIZE=$DP_SIZE)" ;;
+    *)
+        echo "ERROR: unknown MESH_STRATEGY: $MESH_STRATEGY"; exit 1 ;;
+esac
 
 # ----------------------------------------------------------------------------
 # Models

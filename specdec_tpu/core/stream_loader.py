@@ -58,13 +58,24 @@ class ShardReader:
     (measured); with eviction the high-water mark is a couple of shards.
     Real sharded checkpoints group tensors by layer, so eviction almost never
     re-opens a file.
+
+    Eviction is ALSO byte-budgeted (``byte_budget``): real 8B checkpoints ship
+    4 shards of ~4 GB (not one per layer), and every page touched inside one
+    stays resident for as long as the handle lives — a handle-count bound
+    alone still walks RSS up by whole-shard sizes. A handle that has served
+    more than ``byte_budget`` is closed and lazily re-opened on next use
+    (mmap re-open is ~free; outstanding numpy views keep the old mapping
+    alive via refcount until they die, so eviction is always safe).
     """
 
-    def __init__(self, path: str, max_open: int = 2):
+    def __init__(self, path: str, max_open: int = 2,
+                 byte_budget: int = 512 << 20):
         self.path = path
         self.max_open = max_open
+        self.byte_budget = byte_budget
         index = os.path.join(path, "model.safetensors.index.json")
         self._handles: Dict[str, Any] = {}
+        self._served: Dict[str, int] = {}
         if os.path.exists(index):
             with open(index) as f:
                 self._where: Dict[str, str] = json.load(f)["weight_map"]
@@ -77,6 +88,10 @@ class ShardReader:
             self._where = {k: "model.safetensors" for k in h.keys()}
 
     def _open(self, fname: str):
+        if self._served.get(fname, 0) > self.byte_budget:
+            # touched-page residency exceeded the budget: drop the mapping
+            self._handles.pop(fname, None)
+            self._served[fname] = 0
         h = self._handles.pop(fname, None)
         if h is None:
             from safetensors import safe_open
@@ -91,14 +106,21 @@ class ShardReader:
     def __contains__(self, name: str) -> bool:
         return name in self._where
 
+    def _count(self, name: str, arr: np.ndarray) -> np.ndarray:
+        self._served[self._where[name]] = \
+            self._served.get(self._where[name], 0) + arr.nbytes
+        return arr
+
     def __call__(self, name: str) -> np.ndarray:
-        return self._open(self._where[name]).get_tensor(name)
+        return self._count(
+            name, self._open(self._where[name]).get_tensor(name))
 
     def slice_rows(self, name: str, start: int, stop: int) -> np.ndarray:
         """Read rows [start, stop) of a 2D tensor WITHOUT materializing the
         rest — vocab-sized matrices (embed/lm_head, ~1 GB at 8B) stream
         through in row slices so the full tensor never exists on host."""
-        return self._open(self._where[name]).get_slice(name)[start:stop]
+        return self._count(
+            name, self._open(self._where[name]).get_slice(name)[start:stop])
 
     def rows(self, name: str) -> int:
         return self._open(self._where[name]).get_slice(name).get_shape()[0]
@@ -191,15 +213,25 @@ def load_hf_streamed(path: str, dtype=jnp.bfloat16, quantization: str = "none",
         # whole dense path) land in cfg.dtype exactly as the full-load +
         # quantize_params path produces; the quantizers upcast to f32
         # internally, so quantizing from cfg.dtype matches post-hoc
-        # quantization of loaded params. astype(copy=True) ALWAYS: a
-        # same-dtype leaf is otherwise a view into the shard mmap, and
-        # transferring a view pins the whole shard's base buffer in the
-        # tunneled client (measured: 32 pinned ~0.4 GB shards ≈ +14 GB RSS
-        # on the 8B load, from the two tiny norm views per layer)
-        lay = {k: v.astype(np_dtype, copy=True) for k, v in lay.items()}
-        if qfn is not None:
-            lay = quantize_layer_dict_np(lay, qfn, fuse)
-        return lay
+        # quantization of loaded params.
+        #
+        # Copy discipline: a same-dtype leaf is otherwise a view into the
+        # shard mmap, and TRANSFERRING a view pins the whole shard's base
+        # buffer in the tunneled client (measured: 32 pinned ~0.4 GB shards
+        # ≈ +14 GB RSS on the 8B load, from the two tiny norm views per
+        # layer). But only leaves that actually cross the transfer boundary
+        # need the copy: on the quantized path the big projection weights
+        # are consumed by the numpy quantizers (whose packed/absmax outputs
+        # are freshly allocated) — copying them first is a pure ~0.4 GB/layer
+        # transient (measured in the round-3 8B RSS high-water).
+        if qfn is None:
+            return {k: v.astype(np_dtype, copy=True) for k, v in lay.items()}
+        lay = {k: v.astype(np_dtype, copy=False) for k, v in lay.items()}
+        lay = quantize_layer_dict_np(lay, qfn, fuse)
+        # leaves still dense after quantization (norms, biases) DO transfer:
+        # copy those out of the mmap (tiny)
+        return {k: (np.array(v, copy=True) if isinstance(v, np.ndarray)
+                    else v) for k, v in lay.items()}
 
     @partial(jax.jit, donate_argnums=(0,))
     def write_layer(stacked, lay, i):

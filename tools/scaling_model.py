@@ -128,9 +128,19 @@ def pp_decode_time(s, dtype, stages, tp, batch=1, ctx=1024,
 
 
 def main():
+    global ALPHA_DCN
     ap = argparse.ArgumentParser()
     ap.add_argument("--json", action="store_true")
+    ap.add_argument("--alpha-dcn", type=float, default=None,
+                    help="override the per-cross-host-collective latency "
+                         "(seconds). tools/measure_dcn.py measured 2.3e-4 s "
+                         "per cross-process psum on the localhost-GRPC "
+                         "stand-in — ~9x the 2.5e-5 default; pass it here "
+                         "for the pessimistic sensitivity row "
+                         "(docs/SCALING.md 'Measured boundary datapoint').")
     args = ap.parse_args()
+    if args.alpha_dcn is not None:
+        ALPHA_DCN = args.alpha_dcn
 
     rows = []
     for dtype, (R, c) in sorted(FITS.items()):

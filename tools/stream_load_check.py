@@ -105,16 +105,28 @@ def write_checkpoint(preset: str, out_dir: str) -> str:
 
 def load_and_report(path: str, quant: str, dtype_name: str):
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import threading
+
     import jax
     import jax.numpy as jnp
 
     from specdec_tpu.core.stream_loader import load_hf_streamed
 
     t0 = time.time()
+
+    def sample_rss():  # phase trace: correlate RSS growth with load time
+        while not done.is_set():
+            rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+            print(f"  rss@{time.time() - t0:6.1f}s: {rss:.2f} GB", flush=True)
+            done.wait(5.0)
+
+    done = threading.Event()
+    threading.Thread(target=sample_rss, daemon=True).start()
     cfg, params = load_hf_streamed(
         path, dtype=getattr(jnp, dtype_name), quantization=quant)
     jax.block_until_ready(jax.tree.leaves(params))
     dt = time.time() - t0
+    done.set()
     rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     dev_gb = sum(x.nbytes for x in jax.tree.leaves(params)) / 1e9
     print(json.dumps({
