@@ -206,6 +206,39 @@ def write_block_paged_quant(layer_kq, layer_ks, layer_vq, layer_vs,
     return layer_kq, layer_ks, layer_vq, layer_vs
 
 
+def install_sequence_pages(cache, row: jax.Array, scratch):
+    """Scatter a batch-of-one SLOTTED scratch cache's K/V into the pool pages
+    named by ``row`` — the dense-prefill → paged-install admission fast path
+    (serve/paged_scheduler.py). Admissions prefill on a dense scratch cache
+    (exactly the slotted scheduler's program — no per-layer page gather in
+    the prompt forward) and this one scatter per array moves the finished
+    rows into the pool; the paged machinery then only ever serves decode.
+
+    scratch: KVCache/QuantKVCache with B=1 and seq width S (format must match
+    the pool's — both derive from cfg.kv_quant). Position p lands at
+    (row[p // page_size], p % page_size); positions past the allocated pages
+    alias garbage page 0 — never attended, same contract as
+    ``write_block_paged`` (duplicates only on the garbage page)."""
+    ps = cache.page_size
+    S = scratch.k.shape[2]
+    pos = jnp.arange(S, dtype=jnp.int32)
+    page = row[pos // ps]                                   # [S]
+    slot = pos % ps                                         # [S]
+
+    def scat(pool, rows):
+        # rows [L, S, ...] -> [S, L, ...]: the separated advanced indices
+        # (page at axis 1, slot at axis 3) put the broadcast dim first
+        return pool.at[:, page, :, slot].set(
+            jnp.moveaxis(rows, 1, 0), unique_indices=True)
+
+    upd = dict(k=scat(cache.k, scratch.k[:, 0]),
+               v=scat(cache.v, scratch.v[:, 0]))
+    if hasattr(cache, "k_scale"):
+        upd["k_scale"] = scat(cache.k_scale, scratch.k_scale[:, 0])
+        upd["v_scale"] = scat(cache.v_scale, scratch.v_scale[:, 0])
+    return dataclasses.replace(cache, **upd)
+
+
 def gather_pages(layer_kv: jax.Array, page_table: jax.Array) -> jax.Array:
     """[num_pages, Hk, page, Dh] + [B, max_pages] → contiguous
     [B, max_pages*page, Hk, Dh] view (XLA reference path / kernel oracle)."""

@@ -27,7 +27,8 @@ from jax import lax
 from specdec_tpu.core.config import ModelConfig
 from specdec_tpu.core.model import forward_step, forward_step_paged
 from specdec_tpu.core.paged_cache import (
-    PageAllocator, merge_view_storage, paged_view, required_pages,
+    PageAllocator, install_sequence_pages, merge_view_storage, paged_view,
+    required_pages,
 )
 from specdec_tpu.engine.batch_engine import BatchState
 from specdec_tpu.sampling.processors import LogitsProcessor
@@ -184,6 +185,87 @@ def _admit_slot_hybrid(drafter_cfg: ModelConfig, drafter_params,
             put_row(t_cache.length, pos - 1)),
         # drafter invariant: covers pos-2 (two-token first draft step)
         d_cache=install_slot(state.d_cache, d_cache1, slot, pos - 2),
+        accepted=put_row(state.accepted, jnp.int32(0)),
+        speculated=put_row(state.speculated, jnp.int32(0)),
+    )
+
+
+@partial(jax.jit, static_argnames=(
+    "drafter_cfg", "target_cfg", "processor", "eos_ids", "drafter_paged"),
+         donate_argnames=("state",))
+def _admit_slot_dense(drafter_cfg: ModelConfig, drafter_params,
+                      target_cfg: ModelConfig, target_params,
+                      state: BatchState, slot: jax.Array,
+                      prompt: jax.Array, prompt_len: jax.Array,
+                      max_new: jax.Array, t_row: jax.Array, d_row: jax.Array,
+                      processor: LogitsProcessor, eos_ids: Tuple[int, ...],
+                      key: jax.Array,
+                      drafter_paged: bool = False) -> BatchState:
+    """Dense-prefill admission (the no-prefix-hit, single-slice fast path —
+    the default configuration's EVERY admission): prefill the prompt on
+    batch-of-one SLOTTED scratch caches with the plain ``forward_step`` —
+    the identical program the slotted scheduler's admission runs, no paged
+    gather in any attention — then scatter the finished K/V rows into the
+    pool pages with ONE scatter per array (install_sequence_pages).
+
+    Why: the paged admission prefilled through gather-paged attention, which
+    re-gathers the sequence's full page span per layer; measured on chip it
+    made plain-paged admission several times the slotted one (round-3 prefix
+    bench: TTFT p99 4005 ms vs 40 ms slotted — VERDICT r3 weak #3). Stored
+    KV bits are identical either way; only the prompt-forward's access
+    pattern changes."""
+    from specdec_tpu.core.cache import init_cache, install_slot
+
+    S = state.buf.shape[1]
+
+    def put_row(arr, val):
+        return lax.dynamic_update_index_in_dim(arr, val, slot, axis=0)
+
+    t1 = init_cache(target_cfg, 1, S)
+    t_logits, t1 = forward_step(target_cfg, target_params, prompt[None, :], t1)
+    d1 = init_cache(drafter_cfg, 1, S)
+    _, d1 = forward_step(drafter_cfg, drafter_params, prompt[None, :], d1)
+
+    last = jnp.take_along_axis(t_logits, (prompt_len - 1)[None, None, None],
+                               axis=1)[0, 0]
+    p0 = processor(last)
+    tok0 = processor.sample(p0, key).astype(jnp.int32)
+
+    row = jnp.zeros((S,), jnp.int32)
+    row = lax.dynamic_update_slice(row, prompt, (0,))
+    row = lax.dynamic_update_index_in_dim(row, tok0, prompt_len, axis=0)
+
+    max_pos = min(target_cfg.max_position_embeddings,
+                  drafter_cfg.max_position_embeddings)
+    total = jnp.minimum(max_pos, prompt_len + max_new)
+    pos = prompt_len + 1
+    eos0 = jnp.zeros((), bool)
+    if eos_ids:
+        eos0 = jnp.any(tok0 == jnp.asarray(eos_ids, jnp.int32))
+    finished = eos0 | (pos >= total)
+
+    t_cache = dataclasses.replace(
+        state.t_cache, page_table=put_row(state.t_cache.page_table, t_row))
+    t_cache = install_sequence_pages(t_cache, t_row, t1).with_length(
+        put_row(t_cache.length, pos - 1))
+    if drafter_paged:
+        d_cache = dataclasses.replace(
+            state.d_cache, page_table=put_row(state.d_cache.page_table, d_row))
+        # drafter invariant: covers pos-2 (two-token first draft step)
+        d_cache = install_sequence_pages(d_cache, d_row, d1).with_length(
+            put_row(d_cache.length, pos - 2))
+    else:
+        d_cache = install_slot(state.d_cache, d1, slot, pos - 2)
+
+    return dataclasses.replace(
+        state,
+        buf=put_row(state.buf, row),
+        pos=put_row(state.pos, pos),
+        prompt_len=put_row(state.prompt_len, prompt_len),
+        total_len=put_row(state.total_len, total),
+        finished=put_row(state.finished, finished),
+        t_cache=t_cache,
+        d_cache=d_cache,
         accepted=put_row(state.accepted, jnp.int32(0)),
         speculated=put_row(state.speculated, jnp.int32(0)),
     )
@@ -512,7 +594,19 @@ class PagedContinuousBatcher(ContinuousBatcher):
         prompt[:n] = req.prompt_ids[:n]
         suffix = np.zeros((bucket,), np.int32)
         suffix[:remaining] = req.prompt_ids[offset:n]
-        if self.drafter_paged:
+        if offset == 0 and os.getenv("SPECDEC_PAGED_DENSE_ADMIT", "1") != "0":
+            # no cached prefix, no prior chunks: dense-prefill fast path
+            # (slotted-speed admission, one scatter installs the pages)
+            self.state = _admit_slot_dense(
+                self.drafter_cfg, self.drafter_params, self.target_cfg,
+                self.target_params, self.state, jnp.int32(slot),
+                jnp.asarray(prompt), jnp.int32(n),
+                jnp.int32(req.max_new_tokens),
+                self._table_row(self._slot_pages_t[slot]),
+                self._table_row(self._slot_pages_d[slot]),
+                self.processor, self.eos_ids, self._next_key(),
+                drafter_paged=self.drafter_paged)
+        elif self.drafter_paged:
             self.state = _admit_slot_paged(
                 self.drafter_cfg, self.drafter_params, self.target_cfg,
                 self.target_params, self.state, jnp.int32(slot),
