@@ -32,6 +32,13 @@ class RequestMetrics:
     first_token_time: float = 0.0
     end_time: float = 0.0
 
+    # serving-only: seconds spent in the batcher queue before a slot was
+    # assigned. Decomposes TTFT (= queue_seconds + admission/prefill time):
+    # at saturating offered rates queue wait dominates TTFT, and conflating
+    # the two mis-reads an acceptance-limited engine as having a slow
+    # admission path (round-4 drafter-family TTFT diagnosis).
+    queue_seconds: float = 0.0
+
 
 @dataclass
 class BatchMetrics:

@@ -22,6 +22,7 @@ beyond-reference drafter family (docs/PARITY.md) made serving-capable.
 from __future__ import annotations
 
 import dataclasses
+import time
 from functools import partial
 from typing import Optional, Tuple
 
@@ -161,7 +162,8 @@ class EagleContinuousBatcher(ContinuousBatcher):
             self.processor, self.eos_ids, self._next_key())
         self.slot_req[slot] = req
         req.metrics = RequestMetrics(prompt_tokens=n,
-                                     start_time=req.submit_time)
+                                     start_time=req.submit_time,
+                                     queue_seconds=time.time() - req.submit_time)
         if sync:
             self._stamp_admissions([slot])
 

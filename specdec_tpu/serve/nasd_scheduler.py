@@ -26,6 +26,7 @@ oracle tests/test_nasd_serve.py holds against the single-sequence AR path.
 from __future__ import annotations
 
 import dataclasses
+import time
 from functools import partial
 from typing import Optional, Tuple
 
@@ -166,7 +167,8 @@ class NasdContinuousBatcher(ContinuousBatcher):
             self._next_key())
         self.slot_req[slot] = req
         req.metrics = RequestMetrics(prompt_tokens=n,
-                                     start_time=req.submit_time)
+                                     start_time=req.submit_time,
+                                     queue_seconds=time.time() - req.submit_time)
         if sync:
             self._stamp_admissions([slot])
 

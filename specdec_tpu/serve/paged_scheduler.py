@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import time
 from functools import partial
 from typing import List, Optional, Tuple
 
@@ -557,6 +558,7 @@ class PagedContinuousBatcher(ContinuousBatcher):
             self.prefix_cache.lookup_tokens += n
         else:
             hits = []
+        req.dequeue_time = req.dequeue_time or time.time()
         self._slot_shared[slot] = list(keys[:m])
         owner_t, owner_d = ("t", slot, req.request_id), ("d", slot, req.request_id)
         self._slot_pages_t[slot] = ([h[0] for h in hits]
@@ -640,8 +642,10 @@ class PagedContinuousBatcher(ContinuousBatcher):
         del self._prefilling[slot]
         self.slot_req[slot] = req
         from specdec_tpu.engine.metrics import RequestMetrics
-        req.metrics = RequestMetrics(prompt_tokens=n,
-                                     start_time=req.submit_time)
+        req.metrics = RequestMetrics(
+            prompt_tokens=n, start_time=req.submit_time,
+            queue_seconds=(req.dequeue_time or req.submit_time)
+            - req.submit_time)
         return True
 
     def _admit(self, slot: int, req: Request, sync: bool = True):

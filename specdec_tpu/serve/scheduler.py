@@ -45,6 +45,9 @@ class Request:
     prompt_ids: List[int]
     max_new_tokens: int
     submit_time: float = 0.0
+    # stamped when a batcher takes the request off its queue (queue-wait
+    # accounting; preemption-requeues keep the FIRST dequeue time)
+    dequeue_time: float = 0.0
     # per-request sampling params (honored when the batcher was built with
     # per_request_sampling=True; vLLM SamplingParams-style, temperature<=1e-5
     # means greedy). None = engine defaults.
@@ -237,7 +240,8 @@ class ContinuousBatcher:
             self.eos_ids, self._next_key())
         self.slot_req[slot] = req
         req.metrics = RequestMetrics(prompt_tokens=n,
-                                     start_time=req.submit_time)
+                                     start_time=req.submit_time,
+                                     queue_seconds=time.time() - req.submit_time)
         if sync:
             self._stamp_admissions([slot])
 

@@ -129,15 +129,23 @@ def main():
         p50 = ttfts[len(ttfts) // 2] * 1000
         p99 = ttfts[min(len(ttfts) - 1, int(len(ttfts) * 0.99))] * 1000
         lat = float(np.mean([r.total_latency for r in reqs])) * 1000
-        rows.append((rate, toks / dur, p50, p99, lat, len(reqs)))
+        # TTFT decomposition: queue wait (slot unavailable — a throughput/
+        # saturation effect) vs admission service (the engine's own cost)
+        qwaits = sorted(r.queue_seconds for r in reqs)
+        q50 = qwaits[len(qwaits) // 2] * 1000
+        svc = sorted(max(0.0, r.ttft - r.queue_seconds) for r in reqs)
+        s50 = svc[len(svc) // 2] * 1000
+        rows.append((rate, toks / dur, p50, p99, lat, len(reqs), q50, s50))
         log(f"rate {rate:4.1f} req/s: {toks / dur:7.1f} tok/s aggregate, "
-            f"TTFT p50 {p50:6.0f} ms p99 {p99:6.0f} ms, "
+            f"TTFT p50 {p50:6.0f} ms p99 {p99:6.0f} ms "
+            f"(queue p50 {q50:5.0f} + admit p50 {s50:4.0f}), "
             f"mean latency {lat:6.0f} ms ({len(reqs)} reqs)")
 
     print(json.dumps([
         {"rate": r, "aggregate_tps": round(t, 1), "ttft_p50_ms": round(a),
-         "ttft_p99_ms": round(b_), "mean_latency_ms": round(c), "requests": n}
-        for r, t, a, b_, c, n in rows]))
+         "ttft_p99_ms": round(b_), "mean_latency_ms": round(c),
+         "requests": n, "queue_p50_ms": round(q), "admit_p50_ms": round(s)}
+        for r, t, a, b_, c, n, q, s in rows]))
 
 
 if __name__ == "__main__":
