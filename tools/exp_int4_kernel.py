@@ -360,19 +360,20 @@ def main():
         w_s4 = jnp.asarray(code.astype(np.int8) - 8).astype(jnp.int4)
         am_j = jnp.asarray(absmax)
 
-        def xla_native(x_):
-            am_exp = jnp.broadcast_to(am_j[:, None, :], (K // BLOCK, BLOCK, N)
+        # weights passed as ARGUMENTS (closure-captured S4 constants hit a
+        # jit const-lifting RecursionError on this backend)
+        def xla_native(x_, w4, am):
+            am_exp = jnp.broadcast_to(am[:, None, :], (K // BLOCK, BLOCK, N)
                                       ).reshape(K, N)
-            wd = w_s4.astype(jnp.bfloat16) * am_exp.astype(jnp.bfloat16)
+            wd = w4.astype(jnp.bfloat16) * am_exp.astype(jnp.bfloat16)
             return x_ @ wd
 
-        def xla_block(x_):
+        def xla_block(x_, w4, am):
             xb = x_.reshape(M, K // BLOCK, BLOCK)
-            wb = w_s4.reshape(K // BLOCK, BLOCK, N).astype(jnp.bfloat16)
+            wb = w4.reshape(K // BLOCK, BLOCK, N).astype(jnp.bfloat16)
             part = jnp.einsum("mbk,bkn->bmn", xb, wb,
                               preferred_element_type=jnp.float32)
-            return jnp.einsum("bmn,bn->mn", part, jnp.asarray(absmax)
-                              ).astype(jnp.bfloat16)
+            return jnp.einsum("bmn,bn->mn", part, am).astype(jnp.bfloat16)
 
         cases = {
             "cur": (lambda x_: _nf4_matmul_2d(x_, qcur.packed, qcur.absmax,
@@ -392,20 +393,27 @@ def main():
             "pair_n1024": (lambda x_: planar_matmul(
                 x_, p4, amd, kern="pair_interleave", layout="pair4",
                 tile_n=1024),),
-            "int4_xla_s4": (xla_native,),
-            "int4_xla_blk": (xla_block,),
+            "block_n1024": (lambda x_: planar_matmul(
+                x_, p8, amd, kern="planar_block", tile_n=1024),),
+            "block_n2048": (lambda x_: planar_matmul(
+                x_, p8, amd, kern="planar_block", tile_n=2048),),
+            "pair_n1024k2048": (lambda x_: planar_matmul(
+                x_, p4, amd, kern="pair_interleave", layout="pair4",
+                tile_n=1024, tile_k=2048),),
+            "int4_xla_s4": (xla_native, w_s4, am_j),
+            "int4_xla_blk": (xla_block, w_s4, am_j),
             "int8": (lambda x_: _int8_matmul_2d(x_, q8.q, q8.scale),),
         }
-        for name, (fn,) in cases.items():
+        for name, (fn, *extra) in cases.items():
             if only and name not in only:
                 continue
             try:
-                y = fn(xd)
-                if name not in ("floor", "int8"):
+                y = fn(xd, *extra)
+                if "floor" not in name and name != "int8":
                     if not check(name, y):
                         results.setdefault(name, {})[sname] = float("nan")
                         continue
-                ms, cs = time_call(fn, xd)
+                ms, cs = time_call(fn, xd, *extra)
                 gbps = int4_bytes / (ms * 1e-3) / 1e9
                 log(f"  {sname}/{name}: {ms:.4f} ms  ({gbps:.0f} GB/s int4)"
                     f"  [compile {cs:.0f}s]")
