@@ -1,28 +1,40 @@
-"""Fused dequant + matmul Pallas TPU kernels for weight-only INT8 / NF4.
+"""Fused dequant + matmul Pallas TPU kernels for weight-only INT8 / 4-bit.
 
 This is the TPU-native replacement for the bitsandbytes CUDA kernels the
-reference declares but never enables (SURVEY.md §2, §7.4). The point of fusing:
-weight-only quantization is a *bandwidth* optimization — the win only exists if
-the int8/nf4 bytes are what crosses HBM, with dequantization happening in VMEM
-on the way into the MXU. XLA cannot be relied on to fuse dequant into a dot
-operand (it may materialize the dequantized matrix), so the hot path is a
-hand-written kernel:
+reference declares but never enables (SURVEY.md §2, §7.4; ref:
+engine/model_loader.py:83,106). The point of fusing: weight-only quantization
+is a *bandwidth* optimization — the win only exists if the int8/int4 bytes are
+what crosses HBM, with dequantization happening in VMEM on the way into the
+MXU. XLA materializes 4-bit dequant (measured 32 vs 122 tok/s in round 1), so
+the 4-bit hot path is a hand-written kernel.
 
-- grid (N-tiles, K-tiles), K innermost; f32 accumulator in VMEM scratch
-- INT8: int8 tile → bf16 in VMEM → MXU dot → scale applied once at the last
-  K step (per-output-channel scale factors out of the reduction)
-- 4-bit (NF4/FP4/INT4): int32 words of 8 nibbles along K (quant/core.py
-  ``_pack_nibbles``) → 8 native 32-bit shift+mask extractions per word →
-  codec decode (select tree / bit assembly / subtract) → blockwise absmax
-  scaling (inside the reduction — absmax varies along K) → 8 MXU dots
-  against the activation pre-split 8 ways (x[:, j::8]) outside the kernel.
-  Round 1 stored nibbles in uint8 pairs; Mosaic emulates sub-word int
-  vectors, which made the u8→i32 unpack the measured bottleneck
-  (108-122 tok/s). The int32-word pipeline keeps every decode op in native
-  32-bit lanes.
+4-bit kernel design (round 4 — took the INT4 path from ~380 to ~550+ GB/s
+effective; VERDICT r3 #1):
 
-Non-TPU backends (tests, CPU mesh) fall back to XLA dequant-then-matmul, which
-doubles as the correctness oracle.
+- storage is the PAIR4 int32-word layout (quant/core.py ``_pack_nibbles``):
+  word r bits [4p+16h, +4) hold the code for k = p*(K/4) + 2r + h
+- INT4 decode costs ~1.5 VPU ops per weight: one shift+mask grabs TWO
+  nibbles ((word >> 4p) & 0x000F000F), OR 0x4300_4300 assembles two bf16
+  "128 + nib" values in one 32-bit lane, and ``pltpu.bitcast`` splits them
+  into k-contiguous bf16 rows (chip-probed: low half lands at even rows —
+  tools/exp_bitcast_probe.py); one bf16 subtract of 136 yields (nib - 8)
+- the blockwise absmax is factored OUT of the per-weight path: dots run per
+  64-row block ([Mp, 64] x [64, TN] on the MXU) and the scale multiplies the
+  [Mp, TN] f32 partial — Mp/64 of the per-weight cost
+- tiles default to tile_n=1024, tile_k=2048 where shapes allow (measured:
+  the 8B matmul-only forward went 10.45 ms → 6.6 ms over the round-3 kernel
+  at tile 512/1024; tools/exp_int4_kernel.py holds the full variant race)
+- NF4/FP4 keep their codebook/bit-assembly decodes (inherently per-nibble —
+  a select tree can't process two independent halves of a lane at once), run
+  per half-plane (p, h) against stride-2 activation splits prepared outside
+
+INT8: int8 tile → bf16 in VMEM → MXU dot → per-output-channel scale applied
+once at the last K step. (On TPU the INT8 *default* path is XLA — it fuses
+the convert into the dot and wins on launch overhead; see ``_use_pallas``.)
+
+Non-TPU backends (tests, CPU mesh) fall back to XLA dequant-then-matmul,
+which doubles as the correctness oracle; interpret-mode tests run these
+kernels on CPU (tests/test_quant.py).
 """
 from __future__ import annotations
 
@@ -39,13 +51,11 @@ from specdec_tpu.quant.core import (
     _fp4_decode_bits, _int4_decode, _nf4_decode, _nf4_decode_bits, dequantize,
 )
 
-# 4-bit codec name -> in-kernel nibble decode fn. "fp4" uses the f32
-# bit-assembly decode (_fp4_decode_bits) — chip-raced against the select
-# chain; "fp4_sel" keeps the select-chain variant for A/B measurement.
-# "nf4" likewise defaults to the packed bf16-word assembly
-# (_nf4_decode_bits, 7 selects); "nf4_sel" keeps the full 15-select
-# codebook tree (exact f32 constants) for A/B and for callers that need
-# bit-identical agreement with the XLA dequantize() oracle.
+# 4-bit codec name -> per-nibble decode fn for the half-plane kernel.
+# "nf4" uses the packed bf16-word assembly (7 selects, round-3 A/B winner);
+# "*_sel" keep the full select-chain variants for A/B and bit-exact-oracle
+# callers. "int4" decodes via the pair kernel instead (see _pair_kernel) —
+# its entry here serves the halfplane path only when forced.
 _DECODERS = {
     "nf4": _nf4_decode_bits,
     "nf4_sel": _nf4_decode,
@@ -122,19 +132,18 @@ def _int8_matmul_2d(x: jax.Array, q: jax.Array, scale: jax.Array,
 
 
 # ---------------------------------------------------------------------------
-# NF4
+# 4-bit (pair4 layout)
 # ---------------------------------------------------------------------------
 
-def _nf4_kernel(xs_ref, p_ref, am_ref, out_ref, acc_ref,
-                *, decode=_nf4_decode):
-    """int32-word 4-bit dequant+matmul tile.
+def _pair_kernel(xq_ref, p_ref, am_ref, out_ref, acc_ref):
+    """INT4 pairwise bf16-assembly tile (see module docstring).
 
-    p_ref holds native 32-bit words of 8 nibbles each (quant/core.py
-    ``_pack_nibbles``); the whole decode pipeline is 32-bit vector shifts,
-    masks and converts — no uint8 loads anywhere, which round 1 measured as
-    the 4-bit bottleneck (Mosaic emulates sub-word int vectors). The
-    activation arrives pre-split 8 ways (xs_ref[j] = x[:, j::8]) so nibble j
-    of word r multiplies x column 8r+j with no in-kernel interleave."""
+    xq_ref: [4, Mp, 2*tk8] bf16 — activation quarter-planes (xq[p] covers
+            k in [p*K/4, (p+1)*K/4), already k-ordered);
+    p_ref:  [tk8, TN] int32 pair4 words;
+    am_ref: [2*nb, 4, TN] f32 — blockwise absmax, BLOCK-MAJOR with the full
+            quarter-plane count in the sublane dim (Mosaic's block tiling
+            constraint rejects a small-sublane [4, nb, TN] layout)."""
     k = pl.program_id(1)
     nk = pl.num_programs(1)
 
@@ -142,59 +151,136 @@ def _nf4_kernel(xs_ref, p_ref, am_ref, out_ref, acc_ref,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    packed = p_ref[:]                                           # [TK8, TN] i32
-    # absmax rows cover 64 real k's = 8 packed words → element-repeat rows via
-    # broadcast+reshape (pltpu.repeat is tile-semantics, NOT element-repeat)
-    rep = p_ref.shape[0] // am_ref.shape[0]
-    am = am_ref[:]
-    am = jnp.broadcast_to(am[:, None, :], (am.shape[0], rep, am.shape[1]))
-    am = am.reshape(p_ref.shape[0], am_ref.shape[1])            # [TK8, TN]
-    for j in range(8):
-        nib = (packed >> (4 * j)) & 0xF
-        w = (decode(nib) * am).astype(jnp.bfloat16)
-        acc_ref[:] += jnp.dot(xs_ref[j].astype(jnp.bfloat16), w,
-                              preferred_element_type=jnp.float32)
+    packed = p_ref[:]
+    tk8, TN = packed.shape
+    nb2 = 2 * (tk8 // NF4_BLOCK)
+    for p in range(4):
+        t = ((packed >> (4 * p)) & 0x000F000F) | 0x43004300
+        w = pltpu.bitcast(t, jnp.bfloat16) - jnp.bfloat16(136.0)  # nib - 8
+        xp = xq_ref[p]                                     # [Mp, 2*tk8]
+        for b in range(nb2):
+            pb = jnp.dot(xp[:, NF4_BLOCK * b:NF4_BLOCK * (b + 1)],
+                         w[NF4_BLOCK * b:NF4_BLOCK * (b + 1), :],
+                         preferred_element_type=jnp.float32)
+            acc_ref[:] += pb * am_ref[b, p, :][None, :]
 
     @pl.when(k == nk - 1)
     def _():
         out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
+def _halfplane_kernel(xh_ref, p_ref, am_ref, out_ref, acc_ref,
+                      *, decode=_nf4_decode_bits):
+    """Codebook-decode tile for NF4/FP4 on the pair4 layout.
+
+    Half-plane (p, h) of a word tile holds k = p*K/4 + 2r + h: decode its
+    nibbles ((word >> (4p+16h)) & 0xF), scale per weight (the select-tree
+    decodes return f32 values that still need the blockwise absmax), and dot
+    against the matching stride-2 activation split xh_ref[2p+h]."""
+    k = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    packed = p_ref[:]
+    tk8, TN = packed.shape
+    nb2 = 2 * (tk8 // NF4_BLOCK)
+    for p in range(4):
+        # within half-plane (p, h), word row w sits in absmax block w // 32
+        # (64 consecutive k = 32 words of both halves)
+        amq = am_ref[:, p, :]                              # [2*nb, TN]
+        am = jnp.broadcast_to(amq[:, None, :], (nb2, NF4_BLOCK // 2, TN))
+        am = am.reshape(tk8, TN)
+        for h in range(2):
+            nib = (packed >> (4 * p + 16 * h)) & 0xF
+            w = (decode(nib) * am).astype(jnp.bfloat16)
+            acc_ref[:] += jnp.dot(xh_ref[2 * p + h], w,
+                                  preferred_element_type=jnp.float32)
+
+    @pl.when(k == nk - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+def _pick_tiles(K: int, N: int) -> tuple:
+    """Measured tile policy (tools/exp_int4_kernel.py run 3-5): wider tiles
+    lengthen the per-row HBM runs and amortize per-instance overhead —
+    tile_n 512→1024 and tile_k 1024→2048 each bought 10-25% at 8B shapes.
+    Prefer the widest tile that does not pad the weight by more than ~6%
+    (padding is real HBM traffic: zero words still stream)."""
+    def best(size, cands, floor, allow_pad):
+        for t in cands:
+            if size % t == 0:
+                return t
+        if allow_pad:
+            for t in cands:
+                if ((-size) % t) / size <= 0.06:
+                    return t
+        return floor
+    # K must tile EXACTLY: the pair4 quarter-plane boundaries sit at K/4 of
+    # the ORIGINAL K, so zero-padding the word rows would shear the kernel's
+    # (xq quarter, absmax quarter) split off the packing's. N-padding only
+    # appends columns and stays exact.
+    tile_k = best(K, (2048, 1024, 512), 512, allow_pad=False)
+    tile_n = (best(N, (1024, 512, 256), 256, allow_pad=True)
+              if N >= 256 else 128)
+    return tile_n, tile_k
+
+
 @functools.partial(jax.jit, static_argnames=("tile_n", "tile_k", "codec"))
 def _nf4_matmul_2d(x: jax.Array, packed: jax.Array, absmax: jax.Array,
-                   tile_n: int = 512, tile_k: int = 1024,
+                   tile_n: int = 0, tile_k: int = 0,
                    codec: str = "nf4") -> jax.Array:
-    """x: [M, K]; packed: [K/8, N] int32 nibble words; absmax: [K/64, N] f32.
+    """x: [M, K]; packed: [K/8, N] int32 pair4 words; absmax: [K/64, N] f32.
 
-    tile_k must be >= 8*NF4_BLOCK: the absmax tile's sublane dimension is
-    tile_k/64 and Mosaic requires sublane counts divisible by 8 (caught by
-    real-TPU lowering; interpret mode does not enforce it)."""
+    tile_n/tile_k = 0 means the measured ``_pick_tiles`` policy. Requires
+    K % 512 == 0 (the quarter-planes must align to absmax blocks AND tile
+    exactly — see _pick_tiles) — ``quant_matmul`` falls back to the XLA path
+    for other shapes."""
     M, K = x.shape
     K8, N = packed.shape
-    assert K == K8 * 8 and K % NF4_BLOCK == 0
-    assert tile_k % NF4_BLOCK == 0
-    assert tile_k >= 8 * NF4_BLOCK, (
-        f"tile_k={tile_k} gives absmax sublane {tile_k // NF4_BLOCK} < 8")
+    assert K == K8 * 8 and K % (8 * NF4_BLOCK) == 0, (
+        f"pair4 kernel needs K % 512 == 0, got K={K}")
+    if not tile_n or not tile_k:
+        tile_n, tile_k = _pick_tiles(K, N)
+    assert tile_k % (8 * NF4_BLOCK) == 0 and K % tile_k == 0, (
+        f"tile_k={tile_k} must divide K={K} and be a multiple of 512")
     tk8 = tile_k // 8
+    nb2 = 2 * (tk8 // NF4_BLOCK)
 
     Mp = max(8, ((M + 7) // 8) * 8)
-    packed = _pad_to(_pad_to(packed, 0, tk8), 1, tile_n)
-    absmax = _pad_to(_pad_to(absmax, 0, tile_k // NF4_BLOCK), 1, tile_n)
+    packed = _pad_to(packed, 1, tile_n)
+    absmax = _pad_to(absmax, 1, tile_n)
     K8p, Np = packed.shape
-    # activation split: xs[j] = x[:, j::8], zero-padded to the padded K grid
-    x = _pad_to(_pad_to(x, 0, Mp), 1, K8p * 8)[:Mp]
-    xs = x.reshape(Mp, K8p, 8).transpose(2, 0, 1)               # [8, Mp, K8p]
+    xp = _pad_to(x, 0, Mp)[:Mp].astype(jnp.bfloat16)
 
-    grid = (Np // tile_n, K8p // tk8)
+    # absmax in BLOCK-MAJOR, quarter-minor layout (see _pair_kernel)
+    am = absmax.reshape(4, K // (4 * NF4_BLOCK), Np).transpose(1, 0, 2)
+
+    if codec == "int4":
+        kfn = _pair_kernel
+        xs = xp.reshape(Mp, 4, 2 * K8).transpose(1, 0, 2)   # [4, Mp, K/4]
+        xs_spec = pl.BlockSpec((4, Mp, 2 * tk8), lambda n, k: (0, 0, k),
+                               memory_space=pltpu.VMEM)
+    else:
+        kfn = functools.partial(_halfplane_kernel, decode=_DECODERS[codec])
+        # stride-2 splits: xs[2p+h] = x[:, p*K/4 + h :: 2]
+        xs = xp.reshape(Mp, 4, K8, 2).transpose(1, 3, 0, 2)
+        xs = xs.reshape(8, Mp, K8)
+        xs_spec = pl.BlockSpec((8, Mp, tk8), lambda n, k: (0, 0, k),
+                               memory_space=pltpu.VMEM)
+
+    grid = (Np // tile_n, K8 // tk8)
     out = pl.pallas_call(
-        functools.partial(_nf4_kernel, decode=_DECODERS[codec]),
+        kfn,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((8, Mp, tk8), lambda n, k: (0, 0, k),
-                         memory_space=pltpu.VMEM),
+            xs_spec,
             pl.BlockSpec((tk8, tile_n), lambda n, k: (k, n),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_k // NF4_BLOCK, tile_n), lambda n, k: (k, n),
+            pl.BlockSpec((nb2, 4, tile_n), lambda n, k: (k, 0, n),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((Mp, tile_n), lambda n, k: (0, n),
@@ -202,10 +288,10 @@ def _nf4_matmul_2d(x: jax.Array, packed: jax.Array, absmax: jax.Array,
         out_shape=jax.ShapeDtypeStruct((Mp, Np), jnp.bfloat16),
         scratch_shapes=[pltpu.VMEM((Mp, tile_n), jnp.float32)],
         cost_estimate=pl.CostEstimate(
-            flops=2 * Mp * (K8p * 8) * Np,
-            bytes_accessed=Mp * K8p * 8 * 2 + K8p * Np * 4 + Mp * Np * 2,
+            flops=2 * Mp * K * Np,
+            bytes_accessed=Mp * K * 2 + K8 * Np * 4 + Mp * Np * 2,
             transcendentals=0),
-    )(xs, packed, absmax)
+    )(xs, packed, am)
     return out[:M, :N]
 
 
@@ -217,7 +303,7 @@ def _use_pallas(w) -> bool:
     """Measured policy (docs/BENCHMARKS.md): XLA fuses the int8->bf16 convert
     into the dot and avoids per-custom-call overhead (488 vs 327 tok/s on the
     1.1B model), so INT8 defaults to the XLA path; XLA MATERIALIZES 4-bit
-    dequant (32 vs 122 tok/s), so NF4/FP4 default to the Pallas kernel.
+    dequant (32 vs 122 tok/s), so NF4/FP4/INT4 default to the Pallas kernel.
     SPECDEC_QUANT_KERNEL=pallas|xla forces one path for everything."""
     import os
     mode = os.getenv("SPECDEC_QUANT_KERNEL", "auto").lower()
@@ -237,13 +323,17 @@ def quant_matmul(x: jax.Array,
                  ) -> jax.Array:
     """x @ w for a quantized weight; x: [..., K] any float dtype.
 
-    Fused Pallas kernel on TPU, XLA dequant fallback elsewhere. Output dtype
-    follows x.
+    Fused Pallas kernel on TPU, XLA dequant fallback elsewhere (and for
+    4-bit shapes with K % 256 != 0, which the pair4 kernel can't tile).
+    Output dtype follows x.
     """
     lead = x.shape[:-1]
     K = x.shape[-1]
     x2 = x.reshape(-1, K)
-    if _use_pallas(w):
+    use_pallas = _use_pallas(w)
+    if use_pallas and not isinstance(w, Int8Weight) and K % 256 != 0:
+        use_pallas = False
+    if use_pallas:
         if isinstance(w, Int8Weight):
             out = _int8_matmul_2d(x2, w.q, w.scale)
         else:

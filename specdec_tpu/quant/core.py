@@ -41,30 +41,46 @@ NF4_CODEBOOK = np.asarray([
 NF4_BLOCK = 64  # absmax block length along the reduction dimension
 
 
-def _pack_nibbles(code: jax.Array) -> jax.Array:
-    """codes [..., K, N] (values 0..15) -> int32 words [..., K//8, N].
+def _pair_shifts(lead_dims: int, np_mod=jnp):
+    """[4, 1, 2, 1]-shaped shift table for the pair4 layout: nibble position
+    p + 4h sits at bit 4p + 16h."""
+    sh = (np_mod.arange(4, dtype=np_mod.int32) * 4)[:, None, None] \
+        + (np_mod.arange(2, dtype=np_mod.int32) * 16)[None, :, None]
+    return sh.reshape(*([1] * lead_dims), 4, 1, 2, 1)
 
-    Word r holds codes for k = 8r+j at bits [4j, 4j+4). This is the storage
-    format the Pallas kernels consume: one native 32-bit vector load yields 8
-    weights via shift+mask, with no sub-word (uint8) vector emulation anywhere
-    in the decode pipeline — round 1 measured the uint8 nibble path as the
-    4-bit bottleneck (docs/BENCHMARKS.md: NF4 108 tok/s vs INT8 488)."""
+
+def _pack_nibbles(code: jax.Array) -> jax.Array:
+    """codes [..., K, N] (values 0..15) -> int32 words [..., K//8, N] in the
+    PAIR4 layout: word r bit range [4p + 16h, +4) holds the code for
+    k = p*(K/4) + 2r + h   (p in 0..3, h in 0..1).
+
+    Why this order (round 4, VERDICT r3 #1): the fused kernel's decode cost
+    rules the 4-bit bandwidth roofline, and pair4 lets ONE shift+mask grab
+    TWO nibbles ((word >> 4p) & 0x000F000F), one OR of 0x4300_4300 assemble
+    two bf16 "128+nib" values in a single 32-bit lane, and one
+    ``pltpu.bitcast`` split them into rows — measured on chip, i32->bf16
+    bitcast interleaves with the LOW half at even rows, so the (2r, 2r+1)
+    k-pairing makes the decoded rows land k-contiguous with zero shuffling
+    (tools/exp_bitcast_probe.py). Round 1-3 history: uint8 nibbles (Mosaic
+    sub-word emulation, the measured round-1 bottleneck) -> interleaved
+    k=8r+j int32 words (rounds 2-3) -> pair4 (round 4).
+
+    All 32-bit decode arithmetic stays in native lanes; K must be divisible
+    by 8 (the fused kernels additionally want K % 256 == 0 — the caller
+    falls back to the XLA dequant path otherwise)."""
     *lead, K, N = code.shape
     assert K % 8 == 0
-    c = code.astype(jnp.int32).reshape(*lead, K // 8, 8, N)
-    shifts = jnp.arange(0, 32, 4, dtype=jnp.int32).reshape(
-        *([1] * len(lead)), 1, 8, 1)
-    return jnp.sum(c << shifts, axis=-2).astype(jnp.int32)
+    c = code.astype(jnp.int32).reshape(*lead, 4, K // 8, 2, N)
+    return jnp.sum(c << _pair_shifts(len(lead)),
+                   axis=(-4, -2)).astype(jnp.int32)
 
 
 def _unpack_nibbles(packed: jax.Array) -> jax.Array:
     """int32 words [..., K8, N] -> codes [..., K8*8, N] int32 (inverse of
     ``_pack_nibbles``; the XLA fallback / oracle path)."""
     *lead, K8, N = packed.shape
-    p = packed[..., :, None, :]
-    shifts = jnp.arange(0, 32, 4, dtype=jnp.int32).reshape(
-        *([1] * len(lead)), 1, 8, 1)
-    codes = (p >> shifts) & 0xF
+    p = packed[..., None, :, None, :]
+    codes = (p >> _pair_shifts(len(lead))) & 0xF
     return codes.reshape(*lead, K8 * 8, N)
 
 

@@ -26,15 +26,18 @@ from specdec_tpu.quant.core import (
 
 
 def _pack_nibbles_np(code: np.ndarray) -> np.ndarray:
-    """codes [..., K, N] (0..15) -> int32 words [..., K//8, N]; word r holds
-    code for k=8r+j at bits [4j, 4j+4) — the layout quant/core._pack_nibbles
-    produces and the Pallas kernels consume."""
+    """codes [..., K, N] (0..15) -> int32 words [..., K//8, N] in the PAIR4
+    layout (word r bits [4p+16h, +4) = code for k = p*(K/4) + 2r + h) — the
+    layout quant/core._pack_nibbles produces and the Pallas kernels consume
+    (see its docstring for why)."""
     *lead, K, N = code.shape
     assert K % 8 == 0
-    c = code.astype(np.uint32).reshape(*lead, K // 8, 8, N)
-    shifts = np.arange(0, 32, 4, dtype=np.uint32).reshape(
-        *([1] * len(lead)), 1, 8, 1)
-    words = np.bitwise_or.reduce(c << shifts, axis=-2)
+    c = code.astype(np.uint32).reshape(*lead, 4, K // 8, 2, N)
+    sh = ((np.arange(4, dtype=np.uint32) * 4)[:, None, None]
+          + (np.arange(2, dtype=np.uint32) * 16)[None, :, None])
+    shifts = sh.reshape(*([1] * len(lead)), 4, 1, 2, 1)
+    words = np.bitwise_or.reduce(
+        np.bitwise_or.reduce(c << shifts, axis=-2), axis=-3)
     return words.view(np.int32)
 
 

@@ -19,7 +19,7 @@ RNG = np.random.default_rng(0)
 
 
 def test_int8_roundtrip_error():
-    w = jnp.asarray(RNG.normal(size=(128, 96)).astype(np.float32))
+    w = jnp.asarray(RNG.normal(size=(512, 96)).astype(np.float32))
     qw = quantize_int8(w)
     assert qw.q.dtype == jnp.int8
     deq = dequantize(qw)
@@ -74,8 +74,8 @@ def test_int8_pallas_kernel_matches_oracle_interpret():
 
 
 def test_nf4_pallas_kernel_matches_oracle_interpret():
-    x = jnp.asarray(RNG.normal(size=(2, 128)).astype(np.float32))
-    w = jnp.asarray(RNG.normal(size=(128, 96)).astype(np.float32))
+    x = jnp.asarray(RNG.normal(size=(2, 512)).astype(np.float32))
+    w = jnp.asarray(RNG.normal(size=(512, 96)).astype(np.float32))
     qw = quantize_nf4(w)
     with pltpu.force_tpu_interpret_mode():
         out = _nf4_matmul_2d(x, qw.packed, qw.absmax, tile_n=128, tile_k=512)
@@ -248,8 +248,8 @@ def test_fp4_roundtrip_and_fallback():
 
 def test_fp4_pallas_kernel_matches_oracle_interpret():
     from specdec_tpu.quant.core import quantize_fp4
-    x = jnp.asarray(RNG.normal(size=(2, 128)).astype(np.float32))
-    w = jnp.asarray(RNG.normal(size=(128, 96)).astype(np.float32))
+    x = jnp.asarray(RNG.normal(size=(2, 512)).astype(np.float32))
+    w = jnp.asarray(RNG.normal(size=(512, 96)).astype(np.float32))
     qw = quantize_fp4(w)
     with pltpu.force_tpu_interpret_mode():
         out = _nf4_matmul_2d(x, qw.packed, qw.absmax, tile_n=128, tile_k=512,
@@ -294,8 +294,8 @@ def test_int4_roundtrip_and_fallback():
 
 def test_int4_pallas_kernel_matches_oracle_interpret():
     from specdec_tpu.quant.core import quantize_int4
-    x = jnp.asarray(RNG.normal(size=(2, 128)).astype(np.float32))
-    w = jnp.asarray(RNG.normal(size=(128, 96)).astype(np.float32))
+    x = jnp.asarray(RNG.normal(size=(2, 512)).astype(np.float32))
+    w = jnp.asarray(RNG.normal(size=(512, 96)).astype(np.float32))
     qw = quantize_int4(w)
     with pltpu.force_tpu_interpret_mode():
         out = _nf4_matmul_2d(x, qw.packed, qw.absmax, tile_n=128, tile_k=512,
