@@ -256,8 +256,10 @@ def _nf4_matmul_2d(x: jax.Array, packed: jax.Array, absmax: jax.Array,
     K8p, Np = packed.shape
     xp = _pad_to(x, 0, Mp)[:Mp].astype(jnp.bfloat16)
 
-    # absmax in BLOCK-MAJOR, quarter-minor layout (see _pair_kernel)
-    am = absmax.reshape(4, K // (4 * NF4_BLOCK), Np).transpose(1, 0, 2)
+    # absmax is STORED block-major, quarter-minor (quant/core._am_pack), so
+    # the kernel view is a free leading-dim reshape — a per-call transpose
+    # of the full f32 absmax cost ~470 MB/forward of copy traffic at 8B
+    am = absmax.reshape(K // (4 * NF4_BLOCK), 4, Np)
 
     if codec == "int4":
         kfn = _pair_kernel

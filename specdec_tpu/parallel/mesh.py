@@ -141,7 +141,16 @@ def _expand_container_spec(w, spec):
     quantized container (quant/core.py): packed values/codes shard exactly
     like the dense weight (the packed K/8 and blocked K/64 axes sit where K
     sat); INT8's per-output-channel scale [..., 1, N] replicates K and
-    follows N."""
+    follows N.
+
+    pair4 caveat (round 4): the 4-bit word layout interleaves k across
+    quarter-planes, so a contiguous packed-row shard no longer covers a
+    contiguous k range. GSPMD keeps row-parallel (wo/w_down) sharding
+    CORRECT — dequantize/matmul are global-semantics ops and XLA inserts
+    the needed collectives (exercised by the CPU-mesh tests) — but the
+    zero-communication row-parallel structure needs per-shard repacking
+    when real multi-chip lands; column-parallel (N-axis) sharding, the
+    layout serving actually uses for qkv/gateup, is unaffected."""
     from specdec_tpu.quant.core import (
         FP4Weight, Int4Weight, Int8Weight, NF4Weight,
     )

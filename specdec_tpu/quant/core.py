@@ -7,8 +7,9 @@ infer.py:121,125; SURVEY.md §0). The TPU build makes quantization first-class
 dequant+matmul kernels):
 
 - ``Int8Weight``: symmetric per-output-channel int8, scale = absmax/127
-- ``NF4Weight``: 4-bit NormalFloat codes (QLoRA codebook) packed two-per-byte
-  along the reduction dim, blockwise absmax over 64-element column blocks
+- ``NF4Weight``: 4-bit NormalFloat codes (QLoRA codebook) packed 8 codes per
+  int32 word along the reduction dim (pair4 layout — see ``_pack_nibbles``),
+  blockwise absmax over 64-element column blocks
 
 Containers are pytree dataclasses, so quantized layers stack with a leading
 layer axis and traverse ``lax.scan`` exactly like dense layers. ``qmatmul``
@@ -39,6 +40,34 @@ NF4_CODEBOOK = np.asarray([
 ], dtype=np.float32)
 
 NF4_BLOCK = 64  # absmax block length along the reduction dimension
+
+
+def _am_pack(am):
+    """absmax natural row order (g = k // 64) -> STORED block-major,
+    quarter-minor order (row b*4 + p for natural g = p*(G/4) + b).
+
+    Why: the pair4 kernel consumes absmax as [G/4, 4, N] tiles (block-major
+    so the sublane dim is the full quarter count — Mosaic tiling). Storing
+    that order makes the kernel's view a FREE leading-dim reshape; storing
+    natural order forced a transpose of the full f32 absmax on EVERY kernel
+    call — at 8B that is ~470 MB/forward of pure copy traffic (measured as
+    part of the round-4 e2e-vs-ceiling gap). Applied iff G % 4 == 0 (always
+    true for kernel-eligible K % 512 == 0 shapes); smaller test shapes stay
+    natural and use the XLA path."""
+    *lead, G, N = am.shape
+    if G % 4 != 0:
+        return am
+    return am.reshape(*lead, 4, G // 4, N).swapaxes(-3, -2).reshape(
+        *lead, G, N)
+
+
+def _am_unpack(am):
+    """Inverse of ``_am_pack`` (the dequantize/oracle path)."""
+    *lead, G, N = am.shape
+    if G % 4 != 0:
+        return am
+    return am.reshape(*lead, G // 4, 4, N).swapaxes(-3, -2).reshape(
+        *lead, G, N)
 
 
 def _pair_shifts(lead_dims: int, np_mod=jnp):
@@ -106,9 +135,10 @@ class Int8Weight:
 class NF4Weight:
     """w[k, n] ≈ codebook[code(k, n)] * absmax[k // 64, n].
 
-    packed: [..., K//8, N] int32 — word r holds codes for k = 8r+j at bits
-    [4j, 4j+4) (see ``_pack_nibbles``); absmax: [..., K//64, N] f32. K (the
-    reduction dim) must be divisible by 64.
+    packed: [..., K//8, N] int32 in the pair4 layout — word r holds the code
+    for k = p*(K/4) + 2r + h at bits [4p+16h, +4) (see ``_pack_nibbles``);
+    absmax: [..., K//64, N] f32. K (the reduction dim) must be divisible
+    by 64.
     """
 
     packed: jax.Array
@@ -159,7 +189,7 @@ def quantize_nf4(w: jax.Array) -> NF4Weight:
     mids = (cb[1:] + cb[:-1]) / 2.0
     code = jnp.searchsorted(mids, normed)
     code = code.reshape(*lead, K, N)
-    return NF4Weight(packed=_pack_nibbles(code), absmax=absmax)
+    return NF4Weight(packed=_pack_nibbles(code), absmax=_am_pack(absmax))
 
 
 @jax.tree_util.register_dataclass
@@ -203,7 +233,8 @@ def quantize_int4(w: jax.Array) -> Int4Weight:
     absmax = jnp.max(jnp.abs(blocks), axis=-2)
     q = jnp.round(blocks / jnp.maximum(absmax[..., None, :], 1e-12) * 7.0)
     code = (jnp.clip(q, -7, 7) + 8).reshape(*lead, K, N)
-    return Int4Weight(packed=_pack_nibbles(code), absmax=absmax / 7.0)
+    return Int4Weight(packed=_pack_nibbles(code),
+                      absmax=_am_pack(absmax / 7.0))
 
 
 def _int4_decode(code: jax.Array) -> jax.Array:
@@ -273,7 +304,7 @@ def _dequant4(w: Any, decode, dtype) -> jax.Array:
     vals = decode(_unpack_nibbles(w.packed))
     *lead, K, N = vals.shape
     scaled = vals.reshape(*lead, K // NF4_BLOCK, NF4_BLOCK, N) * \
-        w.absmax[..., None, :]
+        _am_unpack(w.absmax)[..., None, :]
     return scaled.reshape(*lead, K, N).astype(dtype)
 
 
@@ -509,4 +540,5 @@ def quantize_fp4(w: jax.Array) -> FP4Weight:
     mag_code = jnp.searchsorted(mids, mags)             # 0..7
     sign = (scaled < 0).astype(jnp.int32)
     code = ((sign << 3) | mag_code).reshape(*lead, K, N)
-    return FP4Weight(packed=_pack_nibbles(code), absmax=absmax / 6.0)
+    return FP4Weight(packed=_pack_nibbles(code),
+                     absmax=_am_pack(absmax / 6.0))

@@ -21,7 +21,7 @@ import numpy as np
 
 from specdec_tpu.quant.core import (
     FP4_VALUES, FP4Weight, Int4Weight, Int8Weight, NF4_BLOCK, NF4_CODEBOOK,
-    NF4Weight,
+    NF4Weight, _am_pack,
 )
 
 
@@ -65,7 +65,7 @@ def quantize_int4_np(w: np.ndarray) -> Int4Weight:
                                      np.float32(1e-12)) * np.float32(7.0))
     code = (np.clip(q, -7, 7) + 8).reshape(*lead, K, N)
     return Int4Weight(packed=_pack_nibbles_np(code),
-                      absmax=absmax / np.float32(7.0))
+                      absmax=_am_pack(absmax / np.float32(7.0)))
 
 
 def quantize_nf4_np(w: np.ndarray) -> NF4Weight:
@@ -73,7 +73,8 @@ def quantize_nf4_np(w: np.ndarray) -> NF4Weight:
     normed = blocks / np.maximum(absmax[..., None, :], np.float32(1e-12))
     mids = (NF4_CODEBOOK[1:] + NF4_CODEBOOK[:-1]) / np.float32(2.0)
     code = np.searchsorted(mids, normed).reshape(*lead, K, N)
-    return NF4Weight(packed=_pack_nibbles_np(code), absmax=absmax)
+    return NF4Weight(packed=_pack_nibbles_np(code),
+                     absmax=_am_pack(absmax))
 
 
 def quantize_fp4_np(w: np.ndarray) -> FP4Weight:
@@ -87,7 +88,7 @@ def quantize_fp4_np(w: np.ndarray) -> FP4Weight:
     sign = (scaled < 0).astype(np.int64)
     code = ((sign << 3) | mag_code).reshape(*lead, K, N)
     return FP4Weight(packed=_pack_nibbles_np(code),
-                     absmax=absmax / np.float32(6.0))
+                     absmax=_am_pack(absmax / np.float32(6.0)))
 
 
 HOST_QUANTIZERS = {"int8": quantize_int8_np, "int4": quantize_int4_np,
