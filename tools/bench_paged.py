@@ -87,6 +87,65 @@ def microbench(q, kp, vp, table, off, Hk, iters=50):
     return kern, orac
 
 
+def sweep_quant_kernel(Hq=32, Hk=4, Dh=64, page=64, B=4, T=9):
+    """VERDICT r3 #7: the QUANTIZED paged kernel lost at short S (5.23 vs
+    2.31 ms at S=512). Sweep S (= MP*page) for kernel vs gather-oracle on
+    the int8 pool and print the measured crossover — the number serving's
+    length-aware selection keys on."""
+    from specdec_tpu.core.cache import quantize_kv_block
+    from specdec_tpu.ops.paged_attention import paged_decode_attention_quant
+
+    def oracle(q, kq, ks, vq, vs, table, off, Hk):
+        # dequantize gathered pages, then the XLA reference attention
+        kd = (kq.astype(jnp.float32)
+              * ks[..., None]).astype(q.dtype)
+        vd = (vq.astype(jnp.float32)
+              * vs[..., None]).astype(q.dtype)
+        return xla_oracle(q, kd, vd, table, off, Hk)
+
+    oracle_j = jax.jit(oracle, static_argnames=("Hk",))
+    rng = np.random.default_rng(0)
+    rows = []
+    for MP in (4, 8, 16, 32):
+        S = MP * page
+        NP = B * MP + 3
+        q = jnp.asarray(rng.normal(size=(B, T, Hq, Dh)), jnp.bfloat16)
+        kf = jnp.asarray(rng.normal(size=(NP, Hk, page, Dh)), jnp.float32)
+        vf = jnp.asarray(rng.normal(size=(NP, Hk, page, Dh)), jnp.float32)
+        def qpool(pool_f):
+            # [NP, Hk, page, Dh] f32 -> int8 pool + [NP, Hk, page] scales,
+            # through quantize_kv_block's [B, T, Hk, Dh] interface
+            blk = pool_f.transpose(0, 2, 1, 3).reshape(1, NP * page, Hk, Dh)
+            qv, sc = quantize_kv_block(blk)
+            qv = qv[0].reshape(NP, page, Hk, Dh).transpose(0, 2, 1, 3)
+            sc = sc[0].reshape(NP, page, Hk).transpose(0, 2, 1)
+            return qv, sc
+
+        kq, ks = qpool(kf)
+        vq, vs = qpool(vf)
+        perm = rng.permutation(NP - 3) + 3
+        table = jnp.asarray(perm[:B * MP].reshape(B, MP).astype(np.int32))
+        off = jnp.asarray([min(S - T, 7 + i * (S // B)) for i in range(B)],
+                          jnp.int32)
+
+        def timed(fn):
+            r = fn()
+            _ = np.asarray(r)
+            t0 = time.time()
+            for _ in range(50):
+                r = fn()
+            _ = np.asarray(r)
+            return (time.time() - t0) / 50 * 1000
+
+        kern = timed(lambda: paged_decode_attention_quant(
+            q, kq, ks, vq, vs, table, off, Hk))
+        orac = timed(lambda: oracle_j(q, kq, ks, vq, vs, table, off, Hk=Hk))
+        rows.append((S, kern, orac))
+        log(f"  S={S:5d}: quant kernel {kern:.3f} ms vs gather oracle "
+            f"{orac:.3f} ms ({'kernel' if kern < orac else 'oracle'} wins)")
+    return rows
+
+
 def bench_serving(paged: bool, n_requests=16, slots=8, gen=128, gamma=8,
                   kv_quant="none"):
     from specdec_tpu.core.config import ModelConfig
@@ -153,8 +212,16 @@ def main():
     ap.add_argument("--skip-serve", action="store_true")
     ap.add_argument("--skip-kernel", action="store_true")
     ap.add_argument("--kv-quant", default="none", choices=("none", "int8"))
+    ap.add_argument("--quant-sweep", action="store_true",
+                    help="S-sweep the int8-pool kernel vs gather oracle "
+                         "(VERDICT r3 #7 crossover measurement) and exit")
     args = ap.parse_args()
     log(f"backend={jax.default_backend()}")
+    if args.quant_sweep:
+        log("=== quant paged kernel S-sweep (B=4 T=9) ===")
+        sweep_quant_kernel()
+        print('{"ok": true}')
+        return
 
     if not args.skip_kernel:
         log("=== part 1: on-chip kernel validation ===")

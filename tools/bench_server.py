@@ -41,6 +41,12 @@ def main():
                          "paged (hybrid pool, the serve/ default; +prefix "
                          "caching)")
     ap.add_argument("--prefix-caching", action="store_true")
+    ap.add_argument("--workload", default="random",
+                    choices=("random", "markov"),
+                    help="prompt distribution: random tokens (the n-gram "
+                         "drafter's worst case — zero repeats) or a small "
+                         "Markov stream (structured text stand-in where "
+                         "NASD/EAGLE acceptance is meaningful)")
     args = ap.parse_args()
     rates = [float(r) for r in args.rates.split(",")]
     log(f"backend={jax.default_backend()} rates={rates} model={args.model}")
@@ -58,9 +64,23 @@ def main():
     else:
         t_cfg, d_cfg, target, drafter = build_pair(quant=args.quant)
     rng = np.random.default_rng(1)
-    prompts = [[int(t) for t in rng.integers(1, t_cfg.vocab_size,
-                                             size=int(n))]
-               for n in rng.integers(30, 200, size=args.n)]
+    if args.workload == "markov":
+        # low-entropy structured stream: sequences revisit a small state
+        # space, so prompts and generations carry repeated n-grams — the
+        # regime the device n-gram table (and trained drafters) target
+        from specdec_tpu.engine.pretrain import MarkovSpec, markov_sampler
+        spec = MarkovSpec(vocab_size=min(4096, t_cfg.vocab_size),
+                          num_states=512, branching=4, zipf_s=1.3,
+                          order=1, seed=3)
+        sampler = markov_sampler(spec, args.n, 200)
+        mat = np.asarray(sampler(jax.random.key(5)))
+        lens = rng.integers(30, 200, size=args.n)
+        prompts = [[int(t) for t in mat[i, :int(lens[i])]]
+                   for i in range(args.n)]
+    else:
+        prompts = [[int(t) for t in rng.integers(1, t_cfg.vocab_size,
+                                                 size=int(n))]
+                   for n in rng.integers(30, 200, size=args.n)]
 
     if args.drafter == "nasd":
         from specdec_tpu.serve import NasdContinuousBatcher

@@ -114,12 +114,15 @@ def main():
         h, _ = lax.scan(body, x, stacked)
         return h
 
-    ms_u = timed(chain_unrolled, x)
-    log(f"unrolled chain: {ms_u:.3f} ms = {ms_u / L:.4f} ms/block "
-        f"(+{(ms_u / L - iso) * 1000:.1f} us/block over isolated)")
     ms_s = timed(chain_scan, x)
     log(f"scan chain:     {ms_s:.3f} ms = {ms_s / L:.4f} ms/block "
         f"(+{(ms_s / L - iso) * 1000:.1f} us/block over isolated)")
+    if "--unrolled" in sys.argv:
+        # NOTE: a 32-custom-call unrolled program broke the remote compile
+        # service (transport broken pipe) — opt-in only
+        ms_u = timed(chain_unrolled, x)
+        log(f"unrolled chain: {ms_u:.3f} ms = {ms_u / L:.4f} ms/block "
+            f"(+{(ms_u / L - iso) * 1000:.1f} us/block over isolated)")
 
 
 if __name__ == "__main__":
