@@ -250,6 +250,27 @@ def _mlp_up(cfg: ModelConfig, lp: Params, m):
     return _act(cfg, up)
 
 
+def _split_stacked_quant(layers):
+    """Partition a layer dict into (scan-friendly dense leaves, stacked
+    4-bit containers). The containers are CLOSED OVER by the scan body and
+    accessed per layer through quant/core.StackedSlice — scanning them as
+    xs makes XLA materialize each layer\'s packed weights into the Pallas
+    custom call (profiled ~0.85 ms/token at 1.1B; see StackedSlice)."""
+    from specdec_tpu.quant.core import FP4Weight, Int4Weight, NF4Weight
+    q4 = {k: v for k, v in layers.items()
+          if isinstance(v, (NF4Weight, FP4Weight, Int4Weight))}
+    dense = {k: v for k, v in layers.items() if k not in q4}
+    return dense, q4
+
+
+def _layer_params(lp_dense, q4, i):
+    from specdec_tpu.quant.core import StackedSlice
+    lp = dict(lp_dense)
+    for name, cont in q4.items():
+        lp[name] = StackedSlice(cont, i)
+    return lp
+
+
 def _forward_common(cfg: ModelConfig, params: Params, tokens: jax.Array,
                     cache: KVCache, q_pos: jax.Array, tree,
                     ) -> Tuple[jax.Array, jax.Array, KVCache]:
@@ -270,20 +291,26 @@ def _forward_common(cfg: ModelConfig, params: Params, tokens: jax.Array,
     if cfg.embed_scale != 1.0:  # gemma: sqrt(hidden) on the embedding only
         x = x * jnp.asarray(cfg.embed_scale, cfg.dtype)
 
+    dense_layers, q4_stack = _split_stacked_quant(params["layers"])
+
     def body(carry, scanned):
         h = carry
-        lp, lk, lv = scanned
+        lp, i, lk, lv = scanned
+        lp = _layer_params(lp, q4_stack, i)
         h, lk, lv = _block(cfg, lp, h, cos, sin, q_pos, lk, lv, offsets,
                            tree=tree)
         return h, (lk, lv)
 
     # layer K/V travel through the scan as (values, scales) pairs when the
     # cache is quantized (all leaves have the leading L axis); _block and
-    # _attention branch on the pair structure at trace time
+    # _attention branch on the pair structure at trace time. 4-bit weight
+    # containers do NOT ride the scan: the body closes over the full stack
+    # and indexes it per layer (see _split_stacked_quant)
     quant = isinstance(cache, QuantKVCache)
     k_in = (cache.k, cache.k_scale) if quant else cache.k
     v_in = (cache.v, cache.v_scale) if quant else cache.v
-    x, (new_k, new_v) = lax.scan(body, x, (params["layers"], k_in, v_in))
+    idxs = jnp.arange(cfg.num_layers, dtype=jnp.int32)
+    x, (new_k, new_v) = lax.scan(body, x, (dense_layers, idxs, k_in, v_in))
 
     feats = x
     x = _norm(cfg, x, params["final_norm_w"], params.get("final_norm_b"))
@@ -467,9 +494,12 @@ def forward_step_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
     if cfg.embed_scale != 1.0:  # gemma: sqrt(hidden) on the embedding only
         x = x * jnp.asarray(cfg.embed_scale, cfg.dtype)
 
+    dense_layers, q4_stack = _split_stacked_quant(params["layers"])
+
     def body(carry, scanned):
         h = carry
-        lp, lk, lv = scanned
+        lp, i, lk, lv = scanned
+        lp = _layer_params(lp, q4_stack, i)
         Hq, Hk, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
         hh = _norm(cfg, h, lp["attn_norm_w"], lp.get("attn_norm_b"))
@@ -533,7 +563,8 @@ def forward_step_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
 
     k_in = (cache.k, cache.k_scale) if quant else cache.k
     v_in = (cache.v, cache.v_scale) if quant else cache.v
-    x, (new_k, new_v) = lax.scan(body, x, (params["layers"], k_in, v_in))
+    idxs = jnp.arange(cfg.num_layers, dtype=jnp.int32)
+    x, (new_k, new_v) = lax.scan(body, x, (dense_layers, idxs, k_in, v_in))
 
     x = _norm(cfg, x, params["final_norm_w"], params.get("final_norm_b"))
     if cfg.tie_embeddings:

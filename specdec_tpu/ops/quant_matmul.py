@@ -135,6 +135,41 @@ def _int8_matmul_2d(x: jax.Array, q: jax.Array, scale: jax.Array,
 # 4-bit (pair4 layout)
 # ---------------------------------------------------------------------------
 
+def _pair_tile(packed, get_x, get_am, acc_ref):
+    """Shared INT4 pair-decode tile body: packed [tk8, TN] pair4 words,
+    get_x(p) -> [Mp, 2*tk8] activation quarter, get_am(b, p) -> [TN]."""
+    tk8, TN = packed.shape
+    nb2 = 2 * (tk8 // NF4_BLOCK)
+    for p in range(4):
+        t = ((packed >> (4 * p)) & 0x000F000F) | 0x43004300
+        w = pltpu.bitcast(t, jnp.bfloat16) - jnp.bfloat16(136.0)  # nib - 8
+        xp = get_x(p)
+        for b in range(nb2):
+            pb = jnp.dot(xp[:, NF4_BLOCK * b:NF4_BLOCK * (b + 1)],
+                         w[NF4_BLOCK * b:NF4_BLOCK * (b + 1), :],
+                         preferred_element_type=jnp.float32)
+            acc_ref[:] += pb * get_am(b, p)[None, :]
+
+
+def _halfplane_tile(packed, get_x, am_quarter, acc_ref, decode):
+    """Shared NF4/FP4 tile body: per half-plane (p, h) codebook decode with
+    per-weight scale; get_x(j) -> [Mp, tk8] stride-2 split, am_quarter(p) ->
+    [2*nb, TN] block scales of quarter p."""
+    tk8, TN = packed.shape
+    nb2 = 2 * (tk8 // NF4_BLOCK)
+    for p in range(4):
+        # within half-plane (p, h), word row w sits in absmax block w // 32
+        # (64 consecutive k = 32 words of both halves)
+        amq = am_quarter(p)                                # [2*nb, TN]
+        am = jnp.broadcast_to(amq[:, None, :], (nb2, NF4_BLOCK // 2, TN))
+        am = am.reshape(tk8, TN)
+        for h in range(2):
+            nib = (packed >> (4 * p + 16 * h)) & 0xF
+            w = (decode(nib) * am).astype(jnp.bfloat16)
+            acc_ref[:] += jnp.dot(get_x(2 * p + h), w,
+                                  preferred_element_type=jnp.float32)
+
+
 def _pair_kernel(xq_ref, p_ref, am_ref, out_ref, acc_ref):
     """INT4 pairwise bf16-assembly tile (see module docstring).
 
@@ -145,26 +180,37 @@ def _pair_kernel(xq_ref, p_ref, am_ref, out_ref, acc_ref):
             quarter-plane count in the sublane dim (Mosaic's block tiling
             constraint rejects a small-sublane [4, nb, TN] layout)."""
     k = pl.program_id(1)
-    nk = pl.num_programs(1)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    packed = p_ref[:]
-    tk8, TN = packed.shape
-    nb2 = 2 * (tk8 // NF4_BLOCK)
-    for p in range(4):
-        t = ((packed >> (4 * p)) & 0x000F000F) | 0x43004300
-        w = pltpu.bitcast(t, jnp.bfloat16) - jnp.bfloat16(136.0)  # nib - 8
-        xp = xq_ref[p]                                     # [Mp, 2*tk8]
-        for b in range(nb2):
-            pb = jnp.dot(xp[:, NF4_BLOCK * b:NF4_BLOCK * (b + 1)],
-                         w[NF4_BLOCK * b:NF4_BLOCK * (b + 1), :],
-                         preferred_element_type=jnp.float32)
-            acc_ref[:] += pb * am_ref[b, p, :][None, :]
+    _pair_tile(p_ref[:], lambda p: xq_ref[p],
+               lambda b, p: am_ref[b, p, :], acc_ref)
 
-    @pl.when(k == nk - 1)
+    @pl.when(k == pl.num_programs(1) - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+def _pair_kernel_stacked(idx_ref, xq_ref, p_ref, am_ref, out_ref, acc_ref):
+    """_pair_kernel over the FULL layer stack: p_ref/am_ref blocks carry a
+    leading (1,) layer dim selected by the scalar-prefetched index maps —
+    the kernel reads the layer\'s tiles straight out of the stacked HBM
+    arrays. This kills the lax.scan dynamic-slice materialization
+    (profiled: copying each layer\'s packed weights into the custom call
+    cost ~0.85 ms/token at 1.1B, ~4.7 ms at 8B — comparable to the matmul
+    time itself; tools/exp_profile_ar.py)."""
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    _pair_tile(p_ref[0], lambda p: xq_ref[p],
+               lambda b, p: am_ref[0, b, p, :], acc_ref)
+
+    @pl.when(k == pl.num_programs(1) - 1)
     def _():
         out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
@@ -178,28 +224,33 @@ def _halfplane_kernel(xh_ref, p_ref, am_ref, out_ref, acc_ref,
     decodes return f32 values that still need the blockwise absmax), and dot
     against the matching stride-2 activation split xh_ref[2p+h]."""
     k = pl.program_id(1)
-    nk = pl.num_programs(1)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    packed = p_ref[:]
-    tk8, TN = packed.shape
-    nb2 = 2 * (tk8 // NF4_BLOCK)
-    for p in range(4):
-        # within half-plane (p, h), word row w sits in absmax block w // 32
-        # (64 consecutive k = 32 words of both halves)
-        amq = am_ref[:, p, :]                              # [2*nb, TN]
-        am = jnp.broadcast_to(amq[:, None, :], (nb2, NF4_BLOCK // 2, TN))
-        am = am.reshape(tk8, TN)
-        for h in range(2):
-            nib = (packed >> (4 * p + 16 * h)) & 0xF
-            w = (decode(nib) * am).astype(jnp.bfloat16)
-            acc_ref[:] += jnp.dot(xh_ref[2 * p + h], w,
-                                  preferred_element_type=jnp.float32)
+    _halfplane_tile(p_ref[:], lambda j: xh_ref[j],
+                    lambda p: am_ref[:, p, :], acc_ref, decode)
 
-    @pl.when(k == nk - 1)
+    @pl.when(k == pl.num_programs(1) - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+def _halfplane_kernel_stacked(idx_ref, xh_ref, p_ref, am_ref, out_ref,
+                              acc_ref, *, decode=_nf4_decode_bits):
+    """_halfplane_kernel over the full layer stack (see
+    _pair_kernel_stacked)."""
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    _halfplane_tile(p_ref[0], lambda j: xh_ref[j],
+                    lambda p: am_ref[0, :, p, :], acc_ref, decode)
+
+    @pl.when(k == pl.num_programs(1) - 1)
     def _():
         out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
@@ -295,6 +346,98 @@ def _nf4_matmul_2d(x: jax.Array, packed: jax.Array, absmax: jax.Array,
             transcendentals=0),
     )(xs, packed, am)
     return out[:M, :N]
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "tile_k", "codec"))
+def _q4_matmul_stacked(x: jax.Array, packed: jax.Array, absmax: jax.Array,
+                       idx: jax.Array, tile_n: int, tile_k: int,
+                       codec: str = "int4") -> jax.Array:
+    """One layer\'s x @ w4 read DIRECTLY from the stacked containers.
+
+    packed: [L, K/8, N] pair4 words; absmax: [L, K/64, N] stored block-major;
+    idx: int32 layer index. The layer never exists as its own buffer: the
+    scalar-prefetched index maps point every weight/scale tile at layer
+    ``idx`` of the stacked HBM arrays (the same mechanism the paged-
+    attention kernel uses for page tables). Requires exact tiling (no
+    padding — padding would copy the whole stack); quant_matmul_stacked
+    gates shapes."""
+    M, K = x.shape
+    L, K8, N = packed.shape
+    assert K == K8 * 8 and K % tile_k == 0 and N % tile_n == 0
+    tk8 = tile_k // 8
+    nb2 = 2 * (tk8 // NF4_BLOCK)
+    B4 = K // (4 * NF4_BLOCK)
+
+    Mp = max(8, ((M + 7) // 8) * 8)
+    xp = _pad_to(x, 0, Mp)[:Mp].astype(jnp.bfloat16)
+    am = absmax.reshape(L, B4, 4, N)
+
+    if codec == "int4":
+        kfn = _pair_kernel_stacked
+        xs = xp.reshape(Mp, 4, 2 * K8).transpose(1, 0, 2)   # [4, Mp, K/4]
+        xs_spec = pl.BlockSpec((4, Mp, 2 * tk8), lambda s, n, k: (0, 0, k),
+                               memory_space=pltpu.VMEM)
+    else:
+        kfn = functools.partial(_halfplane_kernel_stacked,
+                                decode=_DECODERS[codec])
+        xs = xp.reshape(Mp, 4, K8, 2).transpose(1, 3, 0, 2).reshape(8, Mp, K8)
+        xs_spec = pl.BlockSpec((8, Mp, tk8), lambda s, n, k: (0, 0, k),
+                               memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(N // tile_n, K8 // tk8),
+        in_specs=[
+            xs_spec,
+            pl.BlockSpec((1, tk8, tile_n), lambda s, n, k: (s[0], k, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nb2, 4, tile_n), lambda s, n, k: (s[0], k, 0, n),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Mp, tile_n), lambda s, n, k: (0, n),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((Mp, tile_n), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        kfn,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.bfloat16),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * K * N,
+            bytes_accessed=Mp * K * 2 + K8 * N * 4 + Mp * N * 2,
+            transcendentals=0),
+    )(jnp.asarray(idx, jnp.int32).reshape(1), xs, packed, am)
+    return out[:M]
+
+
+def _stacked_tiles(K: int, N: int):
+    """Exact-divisor tiles for the stacked path (None = not tileable —
+    padding is off the table: it would copy the whole layer stack)."""
+    tile_k = next((t for t in (2048, 1024, 512) if K % t == 0), None)
+    tile_n = next((t for t in (1024, 512, 256, 128) if N % t == 0), None)
+    return tile_n, tile_k
+
+
+def quant_matmul_stacked(x: jax.Array, w, idx: jax.Array) -> jax.Array:
+    """x @ w[idx] for a STACKED 4-bit container (leaves [L, ...]) without
+    materializing the layer (see _q4_matmul_stacked). Falls back to a
+    dynamic-slice + the 2D path off-TPU or for shapes the stacked kernel
+    can\'t tile exactly."""
+    from specdec_tpu.quant.core import FP4Weight, Int4Weight
+
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    L, K8, N = w.packed.shape
+    tile_n, tile_k = _stacked_tiles(K, N)
+    if (_use_pallas(w) and K % (8 * NF4_BLOCK) == 0
+            and tile_n is not None and tile_k is not None):
+        codec = ("fp4" if isinstance(w, FP4Weight)
+                 else "int4" if isinstance(w, Int4Weight) else "nf4")
+        out = _q4_matmul_stacked(x.reshape(-1, K), w.packed, w.absmax,
+                                 idx, tile_n, tile_k, codec=codec)
+        return out.astype(x.dtype).reshape(*lead, N)
+    wl = type(w)(packed=w.packed[idx], absmax=w.absmax[idx])
+    return quant_matmul(x, wl)
 
 
 # ---------------------------------------------------------------------------

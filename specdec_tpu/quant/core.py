@@ -321,9 +321,32 @@ def dequantize(w: Any, dtype=jnp.float32) -> jax.Array:
     return jnp.asarray(w, dtype=dtype)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class StackedSlice:
+    """One layer\'s view into a STACKED 4-bit container: the full [L, ...]
+    container plus a traced layer index.
+
+    Why this exists (round 4): scanning quantized containers as lax.scan xs
+    hands the Pallas kernel a dynamic-slice of the stack, and XLA
+    MATERIALIZES that slice into a fresh buffer per layer per step —
+    profiled at ~0.85 ms/token (1.1B) / ~4.7 ms (8B), comparable to the
+    matmuls themselves (tools/exp_profile_ar.py). The model scan instead
+    closes over the full stacked containers and scans only the layer INDEX;
+    qmatmul on a StackedSlice feeds the stacked arrays straight to the
+    kernel, which selects the layer via a scalar-prefetched index map —
+    zero copies. Constructed only inside traces (core/model.py)."""
+
+    container: Any
+    idx: jax.Array
+
+
 def qmatmul(x: jax.Array, w: Any, precision=None) -> jax.Array:
     """x @ w for dense or quantized w. Dense → MXU einsum; quantized → fused
     Pallas kernel on TPU, XLA dequant fallback elsewhere."""
+    if isinstance(w, StackedSlice):
+        from specdec_tpu.ops.quant_matmul import quant_matmul_stacked
+        return quant_matmul_stacked(x, w.container, w.idx)
     if isinstance(w, (Int8Weight, NF4Weight, FP4Weight, Int4Weight)):
         from specdec_tpu.ops.quant_matmul import quant_matmul
         return quant_matmul(x, w)
