@@ -375,26 +375,28 @@ def _q4_matmul_stacked(x: jax.Array, packed: jax.Array, absmax: jax.Array,
     if codec == "int4":
         kfn = _pair_kernel_stacked
         xs = xp.reshape(Mp, 4, 2 * K8).transpose(1, 0, 2)   # [4, Mp, K/4]
-        xs_spec = pl.BlockSpec((4, Mp, 2 * tk8), lambda s, n, k: (0, 0, k),
+        xs_spec = pl.BlockSpec((4, Mp, 2 * tk8), lambda n, k, s: (0, 0, k),
                                memory_space=pltpu.VMEM)
     else:
         kfn = functools.partial(_halfplane_kernel_stacked,
                                 decode=_DECODERS[codec])
         xs = xp.reshape(Mp, 4, K8, 2).transpose(1, 3, 0, 2).reshape(8, Mp, K8)
-        xs_spec = pl.BlockSpec((8, Mp, tk8), lambda s, n, k: (0, 0, k),
+        xs_spec = pl.BlockSpec((8, Mp, tk8), lambda n, k, s: (0, 0, k),
                                memory_space=pltpu.VMEM)
 
+    # index maps receive (grid indices..., scalar-prefetch refs) — grid
+    # FIRST, scalars LAST (same convention as ops/paged_attention.py)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(N // tile_n, K8 // tk8),
         in_specs=[
             xs_spec,
-            pl.BlockSpec((1, tk8, tile_n), lambda s, n, k: (s[0], k, n),
+            pl.BlockSpec((1, tk8, tile_n), lambda n, k, s: (s[0], k, n),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nb2, 4, tile_n), lambda s, n, k: (s[0], k, 0, n),
+            pl.BlockSpec((1, nb2, 4, tile_n), lambda n, k, s: (s[0], k, 0, n),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((Mp, tile_n), lambda s, n, k: (0, n),
+        out_specs=pl.BlockSpec((Mp, tile_n), lambda n, k, s: (0, n),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((Mp, tile_n), jnp.float32)],
     )

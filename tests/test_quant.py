@@ -407,3 +407,26 @@ def test_chunked_host_quantization_bit_identical():
         for a, b in zip(jax.tree.leaves(whole), jax.tree.leaves(chunked)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                           err_msg=kind)
+
+
+def test_stacked_kernel_matches_oracle_interpret():
+    """The scalar-prefetch stacked path (quant_matmul_stacked) must equal
+    the per-layer 2D kernel/oracle for every layer index, both codecs."""
+    from specdec_tpu.ops.quant_matmul import _q4_matmul_stacked
+    from specdec_tpu.quant.core import quantize_int4
+
+    L, K, N = 3, 512, 256
+    w = jnp.asarray(RNG.normal(size=(L, K, N)).astype(np.float32) * 0.1)
+    x = jnp.asarray(RNG.normal(size=(2, K)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    for quant, codec in ((quantize_int4, "int4"), (quantize_nf4, "nf4")):
+        qw = quant(w)
+        for i in range(L):
+            with pltpu.force_tpu_interpret_mode():
+                out = _q4_matmul_stacked(x, qw.packed, qw.absmax,
+                                         jnp.int32(i), 256, 512, codec=codec)
+            layer = type(qw)(packed=qw.packed[i], absmax=qw.absmax[i])
+            oracle = (x @ dequantize(layer, jnp.float32)).astype(jnp.bfloat16)
+            np.testing.assert_allclose(
+                np.asarray(out, np.float32), np.asarray(oracle, np.float32),
+                rtol=2e-2, atol=2e-1)
