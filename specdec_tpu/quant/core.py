@@ -42,6 +42,20 @@ NF4_CODEBOOK = np.asarray([
 NF4_BLOCK = 64  # absmax block length along the reduction dimension
 
 
+def _bf16_scale(absmax, div: float):
+    """(stored bf16 scale, f32 normalization denominator).
+
+    Scales are STORED in bf16 (round 4): at 8B the f32 absmax stream is
+    ~470 MB/forward — ~8% of the 4-bit weight traffic — and bf16 rounding
+    perturbs a scale by <=2^-9 relative, an order below the 4-bit block
+    quantization error itself (ppl gates in tests/test_evaluate.py hold).
+    Codes are quantized against the ROUNDED scale so encode and decode see
+    the same number (host mirror quant/host.py does the identical
+    sequence)."""
+    stored = (absmax / div).astype(jnp.bfloat16)
+    return stored, stored.astype(jnp.float32) * div
+
+
 def _am_pack(am):
     """absmax natural row order (g = k // 64) -> STORED block-major,
     quarter-minor order (row b*4 + p for natural g = p*(G/4) + b).
@@ -181,7 +195,8 @@ def quantize_nf4(w: jax.Array) -> NF4Weight:
     assert K % NF4_BLOCK == 0, f"K={K} not divisible by {NF4_BLOCK}"
     blocks = w.reshape(*lead, K // NF4_BLOCK, NF4_BLOCK, N)
     absmax = jnp.max(jnp.abs(blocks), axis=-2)               # [..., K/64, N]
-    normed = blocks / jnp.maximum(absmax[..., None, :], 1e-12)
+    stored, denom = _bf16_scale(absmax, 1.0)
+    normed = blocks / jnp.maximum(denom[..., None, :], 1e-12)
     # nearest codebook entry via midpoint boundaries (the codebook is sorted);
     # O(elements) memory — an argmin over a broadcast distance tensor would
     # materialize elements x 16 floats and OOMs on stacked full-model weights
@@ -189,7 +204,7 @@ def quantize_nf4(w: jax.Array) -> NF4Weight:
     mids = (cb[1:] + cb[:-1]) / 2.0
     code = jnp.searchsorted(mids, normed)
     code = code.reshape(*lead, K, N)
-    return NF4Weight(packed=_pack_nibbles(code), absmax=_am_pack(absmax))
+    return NF4Weight(packed=_pack_nibbles(code), absmax=_am_pack(stored))
 
 
 @jax.tree_util.register_dataclass
@@ -231,10 +246,10 @@ def quantize_int4(w: jax.Array) -> Int4Weight:
     assert K % NF4_BLOCK == 0, f"K={K} not divisible by {NF4_BLOCK}"
     blocks = w.reshape(*lead, K // NF4_BLOCK, NF4_BLOCK, N)
     absmax = jnp.max(jnp.abs(blocks), axis=-2)
-    q = jnp.round(blocks / jnp.maximum(absmax[..., None, :], 1e-12) * 7.0)
+    stored, denom = _bf16_scale(absmax, 7.0)
+    q = jnp.round(blocks / jnp.maximum(denom[..., None, :], 1e-12) * 7.0)
     code = (jnp.clip(q, -7, 7) + 8).reshape(*lead, K, N)
-    return Int4Weight(packed=_pack_nibbles(code),
-                      absmax=_am_pack(absmax / 7.0))
+    return Int4Weight(packed=_pack_nibbles(code), absmax=_am_pack(stored))
 
 
 def _int4_decode(code: jax.Array) -> jax.Array:
@@ -304,7 +319,7 @@ def _dequant4(w: Any, decode, dtype) -> jax.Array:
     vals = decode(_unpack_nibbles(w.packed))
     *lead, K, N = vals.shape
     scaled = vals.reshape(*lead, K // NF4_BLOCK, NF4_BLOCK, N) * \
-        _am_unpack(w.absmax)[..., None, :]
+        _am_unpack(w.absmax).astype(jnp.float32)[..., None, :]
     return scaled.reshape(*lead, K, N).astype(dtype)
 
 
@@ -556,12 +571,12 @@ def quantize_fp4(w: jax.Array) -> FP4Weight:
     assert K % NF4_BLOCK == 0, f"K={K} not divisible by {NF4_BLOCK}"
     blocks = w.reshape(*lead, K // NF4_BLOCK, NF4_BLOCK, N)
     absmax = jnp.max(jnp.abs(blocks), axis=-2)
-    scaled = blocks / jnp.maximum(absmax[..., None, :], 1e-12) * 6.0
+    stored, denom = _bf16_scale(absmax, 6.0)
+    scaled = blocks / jnp.maximum(denom[..., None, :], 1e-12) * 6.0
     mags = jnp.abs(scaled)
     grid = jnp.asarray(FP4_VALUES)
     mids = (grid[1:] + grid[:-1]) / 2.0
     mag_code = jnp.searchsorted(mids, mags)             # 0..7
     sign = (scaled < 0).astype(jnp.int32)
     code = ((sign << 3) | mag_code).reshape(*lead, K, N)
-    return FP4Weight(packed=_pack_nibbles(code),
-                     absmax=_am_pack(absmax / 6.0))
+    return FP4Weight(packed=_pack_nibbles(code), absmax=_am_pack(stored))

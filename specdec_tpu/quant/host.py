@@ -59,27 +59,36 @@ def _blocked(w: np.ndarray):
     return blocks, absmax, lead, K, N
 
 
+def _bf16_scale_np(absmax: np.ndarray, div: float):
+    """Host mirror of quant/core._bf16_scale (bit-identical bf16 rounding:
+    numpy/ml_dtypes and XLA both round-to-nearest-even)."""
+    import ml_dtypes
+    stored = (absmax / np.float32(div)).astype(ml_dtypes.bfloat16)
+    return stored, stored.astype(np.float32) * np.float32(div)
+
+
 def quantize_int4_np(w: np.ndarray) -> Int4Weight:
     blocks, absmax, lead, K, N = _blocked(w)
-    q = np.round(blocks / np.maximum(absmax[..., None, :],
+    stored, denom = _bf16_scale_np(absmax, 7.0)
+    q = np.round(blocks / np.maximum(denom[..., None, :],
                                      np.float32(1e-12)) * np.float32(7.0))
     code = (np.clip(q, -7, 7) + 8).reshape(*lead, K, N)
-    return Int4Weight(packed=_pack_nibbles_np(code),
-                      absmax=_am_pack(absmax / np.float32(7.0)))
+    return Int4Weight(packed=_pack_nibbles_np(code), absmax=_am_pack(stored))
 
 
 def quantize_nf4_np(w: np.ndarray) -> NF4Weight:
     blocks, absmax, lead, K, N = _blocked(w)
-    normed = blocks / np.maximum(absmax[..., None, :], np.float32(1e-12))
+    stored, denom = _bf16_scale_np(absmax, 1.0)
+    normed = blocks / np.maximum(denom[..., None, :], np.float32(1e-12))
     mids = (NF4_CODEBOOK[1:] + NF4_CODEBOOK[:-1]) / np.float32(2.0)
     code = np.searchsorted(mids, normed).reshape(*lead, K, N)
-    return NF4Weight(packed=_pack_nibbles_np(code),
-                     absmax=_am_pack(absmax))
+    return NF4Weight(packed=_pack_nibbles_np(code), absmax=_am_pack(stored))
 
 
 def quantize_fp4_np(w: np.ndarray) -> FP4Weight:
     blocks, absmax, lead, K, N = _blocked(w)
-    scaled = blocks / np.maximum(absmax[..., None, :],
+    stored, denom = _bf16_scale_np(absmax, 6.0)
+    scaled = blocks / np.maximum(denom[..., None, :],
                                  np.float32(1e-12)) * np.float32(6.0)
     mags = np.abs(scaled)
     grid = np.asarray(FP4_VALUES, np.float32)
@@ -87,8 +96,7 @@ def quantize_fp4_np(w: np.ndarray) -> FP4Weight:
     mag_code = np.searchsorted(mids, mags)
     sign = (scaled < 0).astype(np.int64)
     code = ((sign << 3) | mag_code).reshape(*lead, K, N)
-    return FP4Weight(packed=_pack_nibbles_np(code),
-                     absmax=_am_pack(absmax / np.float32(6.0)))
+    return FP4Weight(packed=_pack_nibbles_np(code), absmax=_am_pack(stored))
 
 
 HOST_QUANTIZERS = {"int8": quantize_int8_np, "int4": quantize_int4_np,

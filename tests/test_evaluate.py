@@ -118,12 +118,14 @@ def test_quantized_nll_matches_external_torch(tmp_path):
         s = (W.abs().amax(dim=1, keepdim=True) / 127.0).clamp_min(1e-12)
         return torch.clamp(torch.round(W / s), -127, 127) * s
 
-    def q4(W):  # 64-block symmetric int4 (quant/core.quantize_int4)
+    def q4(W):  # 64-block symmetric int4, bf16-stored scale (quant/core)
         out, K = W.shape
         blocks = W.reshape(out, K // 64, 64)
-        am = blocks.abs().amax(dim=2, keepdim=True).clamp_min(1e-12)
-        q = torch.clamp(torch.round(blocks / am * 7.0), -7, 7)
-        return (q * (am / 7.0)).reshape(out, K)
+        am = blocks.abs().amax(dim=2, keepdim=True)
+        stored = (am / 7.0).to(torch.bfloat16)      # the bf16 stored scale
+        denom = (stored.float() * 7.0).clamp_min(1e-12)
+        q = torch.clamp(torch.round(blocks / denom * 7.0), -7, 7)
+        return (q * stored.float()).reshape(out, K)
 
     def torch_ppl(model):
         total_nll, total_n = 0.0, 0
