@@ -38,15 +38,33 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--gen", type=int, default=256)
+    ap.add_argument("--model", default="1b", choices=("1b", "8b"),
+                    help="8b: one honest greedy-tree shot at 8B/long-context"
+                         " (VERDICT r3 #8) — INT4 6L-drafter, long prompt")
+    ap.add_argument("--prompt-len", type=int, default=0,
+                    help="0 = 60 (1b) / 1020 (8b long-context regime)")
     args = ap.parse_args()
     log(f"backend={jax.default_backend()}")
     rng = np.random.default_rng(0)
-    prompt = [int(t) for t in rng.integers(1, 32000, size=60)]
+    plen = args.prompt_len or (1020 if args.model == "8b" else 60)
+    prompt = [int(t) for t in rng.integers(1, 32000, size=plen)]
     rows = []
 
-    for damp in (0.08, 0.35):
-        t_cfg, d_cfg, target, drafter = build_pair(quant="int8",
-                                                   tail_damp=damp)
+    damps = (0.08, 0.35) if args.model == "1b" else (0.08,)
+    for damp in damps:
+        if args.model == "8b":
+            import importlib.util
+            import os
+            spec = importlib.util.spec_from_file_location(
+                "bench_8b", os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), "bench_8b.py"))
+            b8 = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(b8)
+            t_cfg, d_cfg, target, drafter = b8.build_8b("int4",
+                                                        draft_layers=6)
+        else:
+            t_cfg, d_cfg, target, drafter = build_pair(quant="int8",
+                                                       tail_damp=damp)
 
         def ar_fn(key):
             out = autoregressive_generate(
