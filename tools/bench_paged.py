@@ -147,6 +147,7 @@ def sweep_quant_kernel(Hq=32, Hk=4, Dh=64, page=64, B=4, T=9):
 
 
 def bench_serving(paged: bool, n_requests=16, slots=8, gen=128, gamma=8,
+                  page_size=64,
                   kv_quant="none"):
     from specdec_tpu.core.config import ModelConfig
     from specdec_tpu.core.model import init_params
@@ -185,7 +186,7 @@ def bench_serving(paged: bool, n_requests=16, slots=8, gen=128, gamma=8,
         # covered by tests/test_paged_scheduler.py)
         S = 256 + gen + gamma + 2
         b = PagedContinuousBatcher(d_cfg, drafter, t_cfg, target,
-                                   page_size=64,
+                                   page_size=page_size,
                                    pool_tokens=(slots + 1) * S, **kw)
     else:
         b = ContinuousBatcher(d_cfg, drafter, t_cfg, target, **kw)
@@ -212,6 +213,10 @@ def main():
     ap.add_argument("--skip-serve", action="store_true")
     ap.add_argument("--skip-kernel", action="store_true")
     ap.add_argument("--kv-quant", default="none", choices=("none", "int8"))
+    ap.add_argument("--page-size", type=int, default=64,
+                    help="paged-pool page size for part 3 (bigger pages = "
+                         "coarser pool but fewer/bigger gathers and DMAs — "
+                         "the hybrid 0.92x residual is gather granularity)")
     ap.add_argument("--quant-sweep", action="store_true",
                     help="S-sweep the int8-pool kernel vs gather oracle "
                          "(VERDICT r3 #7 crossover measurement) and exit")
@@ -242,7 +247,8 @@ def main():
     if not args.skip_serve:
         log("=== part 3: serving bench (B=8 slots, 16 reqs, gen 128) ===")
         slotted = bench_serving(paged=False, kv_quant=args.kv_quant)
-        paged = bench_serving(paged=True, kv_quant=args.kv_quant)
+        paged = bench_serving(paged=True, kv_quant=args.kv_quant,
+                              page_size=args.page_size)
         log(f"paged/slotted aggregate ratio: {paged / slotted:.2f}")
 
     print('{"ok": true}')
