@@ -159,7 +159,12 @@ def _expand_container_spec(w, spec):
         scale[-2] = None
         return Int8Weight(q=spec, scale=P(*scale))
     if isinstance(w, (Int4Weight, NF4Weight, FP4Weight)):
-        return type(w)(spec, spec)
+        # absmax: replicate the (tiny) block-row axis — it is 1/64th of the
+        # weight bytes, and row-sharding it both hits divisibility walls at
+        # small shapes and (post-pair4) would not map to contiguous k anyway
+        amspec = list(spec)
+        amspec[-2] = None
+        return type(w)(spec, P(*amspec))
     return spec
 
 
