@@ -19,6 +19,74 @@ import jax
 from bench import build_pair, log
 
 
+def _build_arena(args):
+    """Pretrained markov target + (model drafter only) distilled 4L drafter,
+    both cached in /tmp (same cache files/keys as tools/bench_eagle_fair.py
+    so a fair/depth run pays the training once for every tool)."""
+    import os
+    import pickle
+
+    import jax.numpy as jnp
+
+    from specdec_tpu.core.config import ModelConfig
+    from specdec_tpu.engine.distill import distill_drafter
+    from specdec_tpu.engine.pretrain import (
+        MarkovSpec, build_trained_target, markov_sampler,
+    )
+
+    V = 8192
+    cfg = ModelConfig(
+        vocab_size=V, hidden_size=1024, intermediate_size=2816,
+        num_layers=16, num_heads=16, num_kv_heads=4, head_dim=64,
+        max_position_embeddings=2048, dtype=jnp.bfloat16)
+    spec = MarkovSpec(vocab_size=V, num_states=V, branching=8, zipf_s=1.2,
+                      order=1, seed=11)
+    lm_steps = int(os.getenv("FAIR_LM_STEPS", "4000"))
+    cache = f"/tmp/fair_target_order1_{lm_steps}.pkl"
+    if os.path.exists(cache):
+        with open(cache, "rb") as f:
+            blob = pickle.load(f)
+        target = jax.tree.map(jnp.asarray, blob["params"])
+        log(f"arena target loaded from {cache} (nll {blob['nll']:.3f})")
+    else:
+        t0 = time.time()
+        target, nll = build_trained_target(
+            cfg, spec, steps=lm_steps, batch_size=32, seq_len=128,
+            learning_rate=1e-3, seed=0, log_every=500, log_fn=log)
+        with open(cache, "wb") as f:
+            pickle.dump({"params": jax.tree.map(np.asarray, target),
+                         "nll": nll}, f)
+        log(f"arena target pretrained: nll={nll:.3f} "
+            f"in {time.time() - t0:.0f}s")
+
+    d_steps = int(os.getenv("FAIR_DISTILL_STEPS", "800"))
+    dk = cfg.num_layers // 4
+    d_cfg = cfg.replace(num_layers=dk)
+    if args.drafter != "model":
+        # nasd/eagle batchers never touch the model drafter — skip the
+        # distillation startup cost on those runs
+        return cfg, d_cfg, target, None, spec
+    dcache = f"/tmp/arena_drafter{dk}_{d_steps}.pkl"
+    if os.path.exists(dcache):
+        with open(dcache, "rb") as f:
+            dist = jax.tree.map(jnp.asarray, pickle.load(f))
+        log(f"arena distilled drafter loaded from {dcache}")
+    else:
+        prefix = dict(target)
+        prefix["layers"] = jax.tree.map(lambda x: x[:dk], target["layers"])
+        t0 = time.time()
+        dist, d_acc = distill_drafter(
+            cfg, target, d_cfg, prefix, steps=d_steps,
+            batch_sampler=markov_sampler(spec, 32, 128),
+            learning_rate=3e-4, key=jax.random.key(9),
+            log_every=200, log_fn=log)
+        with open(dcache, "wb") as f:
+            pickle.dump(jax.tree.map(np.asarray, dist), f)
+        log(f"arena drafter distilled: proxy {float(d_acc):.3f} "
+            f"in {time.time() - t0:.0f}s")
+    return cfg, d_cfg, target, dist, spec
+
+
 def main():
     from specdec_tpu.engine.server_benchmark import run_server_benchmark
     from specdec_tpu.serve.scheduler import ContinuousBatcher
@@ -47,11 +115,24 @@ def main():
                          "drafter's worst case — zero repeats) or a small "
                          "Markov stream (structured text stand-in where "
                          "NASD/EAGLE acceptance is meaningful)")
+    ap.add_argument("--arena", action="store_true",
+                    help="serve the PRETRAINED markov arena target "
+                         "(bench_eagle_fair's cached target) with markov "
+                         "prompts, so every drafter family runs at its real "
+                         "acceptance: model -> distilled 4L, nasd -> markov "
+                         "n-grams in prompts AND generations, eagle -> "
+                         "trained head. The VERDICT r3 #5 TTFT comparison "
+                         "is only meaningful here — on random prompts vs a "
+                         "random-weight target, NASD/EAGLE acceptance is "
+                         "~0, per-request service is ~3x longer, and TTFT "
+                         "is queue wait at saturation, not admission cost.")
     args = ap.parse_args()
     rates = [float(r) for r in args.rates.split(",")]
     log(f"backend={jax.default_backend()} rates={rates} model={args.model}")
 
-    if args.model == "8b":
+    if args.arena:
+        t_cfg, d_cfg, target, drafter, arena_spec = _build_arena(args)
+    elif args.model == "8b":
         import importlib.util
         import os
         spec = importlib.util.spec_from_file_location(
@@ -64,7 +145,14 @@ def main():
     else:
         t_cfg, d_cfg, target, drafter = build_pair(quant=args.quant)
     rng = np.random.default_rng(1)
-    if args.workload == "markov":
+    if args.arena:
+        from specdec_tpu.engine.pretrain import markov_sampler
+        sampler = markov_sampler(arena_spec, args.n, 200)
+        mat = np.asarray(sampler(jax.random.key(5)))
+        lens = rng.integers(30, 200, size=args.n)
+        prompts = [[int(t) for t in mat[i, :int(lens[i])]]
+                   for i in range(args.n)]
+    elif args.workload == "markov":
         # low-entropy structured stream: sequences revisit a small state
         # space, so prompts and generations carry repeated n-grams — the
         # regime the device n-gram table (and trained drafters) target
@@ -95,16 +183,36 @@ def main():
         from specdec_tpu.engine.eagle_train import train_eagle
         from specdec_tpu.serve import EagleContinuousBatcher
 
-        spec = args.drafter.split(":", 1)[1] if ":" in args.drafter else "1@300"
-        depth, _, steps = spec.partition("@")
+        dspec = args.drafter.split(":", 1)[1] if ":" in args.drafter else (
+            "1@2000" if args.arena else "1@300")
+        depth, _, steps = dspec.partition("@")
         e_cfg = t_cfg.replace(num_layers=int(depth))
         ep = init_eagle_params(e_cfg, jax.random.key(7))
-        if int(steps or 0) > 0:
+        ecache = f"/tmp/arena_eagle{depth}_{steps}.pkl" if args.arena else None
+        if ecache and __import__("os").path.exists(ecache):
+            import pickle
+            with open(ecache, "rb") as f:
+                import jax.numpy as jnp
+                ep = jax.tree.map(jnp.asarray, pickle.load(f))
+            log(f"arena eagle head loaded from {ecache}")
+        elif int(steps or 0) > 0:
+            kw = {}
+            if args.arena:
+                # stream batches + rollout: the cheap trained operating
+                # point (on-policy costs 15x wall; see bench_eagle_fair)
+                from specdec_tpu.engine.pretrain import markov_sampler
+                kw = dict(batch_sampler=markov_sampler(arena_spec, 32, 128),
+                          learning_rate=1e-3, rollout_steps=3)
             t0 = time.time()
             ep, acc = train_eagle(t_cfg, target, e_cfg, ep,
-                                  steps=int(steps), key=jax.random.key(8))
+                                  steps=int(steps), key=jax.random.key(8),
+                                  **kw)
             log(f"eagle head trained {steps} steps in {time.time() - t0:.0f}s"
                 f" (proxy acceptance {acc:.3f})")
+            if ecache:
+                import pickle
+                with open(ecache, "wb") as f:
+                    pickle.dump(jax.tree.map(np.asarray, ep), f)
 
         def fresh_batcher():
             return EagleContinuousBatcher(
@@ -155,17 +263,20 @@ def main():
         q50 = qwaits[len(qwaits) // 2] * 1000
         svc = sorted(max(0.0, r.ttft - r.queue_seconds) for r in reqs)
         s50 = svc[len(svc) // 2] * 1000
-        rows.append((rate, toks / dur, p50, p99, lat, len(reqs), q50, s50))
+        acc = float(np.mean([r.acceptance_rate for r in reqs]))
+        rows.append((rate, toks / dur, p50, p99, lat, len(reqs), q50, s50,
+                     acc))
         log(f"rate {rate:4.1f} req/s: {toks / dur:7.1f} tok/s aggregate, "
             f"TTFT p50 {p50:6.0f} ms p99 {p99:6.0f} ms "
             f"(queue p50 {q50:5.0f} + admit p50 {s50:4.0f}), "
-            f"mean latency {lat:6.0f} ms ({len(reqs)} reqs)")
+            f"mean latency {lat:6.0f} ms, acc {acc:.3f} ({len(reqs)} reqs)")
 
     print(json.dumps([
         {"rate": r, "aggregate_tps": round(t, 1), "ttft_p50_ms": round(a),
          "ttft_p99_ms": round(b_), "mean_latency_ms": round(c),
-         "requests": n, "queue_p50_ms": round(q), "admit_p50_ms": round(s)}
-        for r, t, a, b_, c, n, q, s in rows]))
+         "requests": n, "queue_p50_ms": round(q), "admit_p50_ms": round(s),
+         "acceptance": round(ac, 3)}
+        for r, t, a, b_, c, n, q, s, ac in rows]))
 
 
 if __name__ == "__main__":
