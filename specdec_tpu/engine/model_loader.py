@@ -300,7 +300,9 @@ def load_models(
         # EAGLE feature-predictor drafter (core/eagle.py): rides on the
         # target's own residual stream + shared head. Spec
         # ``eagle:<depth>[@<steps>]`` — depth = drafter transformer blocks
-        # (1 = classic EAGLE), optional @steps runs on-policy training
+        # (1 = classic EAGLE; 2 is the measured throughput sweet spot —
+        # deeper heads keep buying acceptance but draft cost wins, see the
+        # depth sweep in docs/BENCHMARKS.md), optional @steps runs on-policy training
         # against the loaded target at load time (engine/eagle_train.py;
         # checkpoint-trained EAGLE heads would load here instead when
         # available). With a QUANTIZED target, training needs the
