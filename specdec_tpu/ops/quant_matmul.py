@@ -102,6 +102,19 @@ def _int8_matmul_2d(x: jax.Array, q: jax.Array, scale: jax.Array,
     M, K = x.shape
     Kq, N = q.shape
     Mp = max(8, ((M + 7) // 8) * 8)
+    # Same scoped-VMEM discipline as the 4-bit kernels (VERDICT r4 #1):
+    # x/out/scratch blocks scale with Mp, so chunk very long prefills.
+    i8_bytes = (2 * (Mp * tile_k * 2 + tile_k * tile_n + tile_n * 4
+                     + Mp * tile_n * 2) + Mp * tile_n * 4)
+    if i8_bytes > _VMEM_BUDGET:
+        fixed = 2 * (tile_k * tile_n + tile_n * 4)
+        rows = max(8, int((_VMEM_BUDGET - fixed)
+                          // (4 * tile_k + 8 * tile_n)) // 8 * 8)
+        if Mp > rows:
+            outs = [_int8_matmul_2d(x[i:i + rows], q, scale,
+                                    tile_n=tile_n, tile_k=tile_k)
+                    for i in range(0, M, rows)]
+            return jnp.concatenate(outs, axis=0)
     x = _pad_to(_pad_to(x, 0, Mp), 1, tile_k)
     q = _pad_to(_pad_to(q, 0, tile_k), 1, tile_n)
     scale = _pad_to(scale, 1, tile_n)
@@ -255,29 +268,90 @@ def _halfplane_kernel_stacked(idx_ref, xh_ref, p_ref, am_ref, out_ref,
         out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
-def _pick_tiles(K: int, N: int) -> tuple:
-    """Measured tile policy (tools/exp_int4_kernel.py run 3-5): wider tiles
-    lengthen the per-row HBM runs and amortize per-instance overhead —
-    tile_n 512→1024 and tile_k 1024→2048 each bought 10-25% at 8B shapes.
-    Prefer the widest tile that does not pad the weight by more than ~6%
-    (padding is real HBM traffic: zero words still stream)."""
-    def best(size, cands, floor, allow_pad):
-        for t in cands:
-            if size % t == 0:
-                return t
-        if allow_pad:
-            for t in cands:
-                if ((-size) % t) / size <= 0.06:
-                    return t
-        return floor
-    # K must tile EXACTLY: the pair4 quarter-plane boundaries sit at K/4 of
-    # the ORIGINAL K, so zero-padding the word rows would shear the kernel's
-    # (xq quarter, absmax quarter) split off the packing's. N-padding only
-    # appends columns and stays exact.
-    tile_k = best(K, (2048, 1024, 512), 512, allow_pad=False)
-    tile_n = (best(N, (1024, 512, 256), 256, allow_pad=True)
-              if N >= 256 else 128)
-    return tile_n, tile_k
+# Scoped-VMEM budget for tile/chunk planning. The v5e scoped-vmem limit is
+# 16 MiB — measured the hard way: the round-4 stacked kernel compiled its
+# Mp=1024 8B prefill instance to "18.12M and limit 16.00M" and died
+# (VERDICT r4 #1, /tmp/r4logs/tree_8b.log). Mosaic double-buffers every
+# grid-varying in/out block, so the model below charges those twice and the
+# scratch accumulator once; on the failing shape it predicts 18.1M — within
+# 0.1% of the compiler's number. 14 MiB of the 16 leaves headroom for
+# Mosaic's own stack temporaries and keeps the plan robust to small
+# layout-padding effects.
+_VMEM_BUDGET = 14 * 1024 * 1024
+
+
+def _q4_vmem_bytes(Mp: int, tile_n: int, tile_k: int,
+                   am_bytes: int = 2) -> int:
+    """Scoped-VMEM bytes for one pair4/halfplane kernel instance.
+
+    Blocks: activations [4, Mp, tile_k/4] (or the stride-2 [8, Mp, tile_k/8]
+    — same byte count) bf16; packed words [tile_k/8, tile_n] int32; absmax
+    [nb2, 4, tile_n] bf16; out [Mp, tile_n] bf16; f32 accumulator scratch.
+    Everything but the scratch is double-buffered by Mosaic."""
+    tk8 = tile_k // 8
+    nb2 = 2 * (tk8 // NF4_BLOCK)
+    xs = Mp * tile_k * 2
+    packed = tk8 * tile_n * 4
+    am = nb2 * 4 * tile_n * am_bytes
+    out = Mp * tile_n * 2
+    scratch = Mp * tile_n * 4
+    return 2 * (xs + packed + am + out) + scratch
+
+
+def _q4_chunk_rows(Mp: int, tile_n: int, tile_k: int,
+                   am_bytes: int = 2) -> int:
+    """Largest row count (multiple of 8) whose blocks fit the VMEM budget at
+    the given tiles; == Mp when no chunking is needed."""
+    if _q4_vmem_bytes(Mp, tile_n, tile_k, am_bytes) <= _VMEM_BUDGET:
+        return Mp
+    tk8 = tile_k // 8
+    nb2 = 2 * (tk8 // NF4_BLOCK)
+    fixed = 2 * (tk8 * tile_n * 4 + nb2 * 4 * tile_n * am_bytes)
+    per_row = 4 * tile_k + 8 * tile_n   # 2*(2B x) + 2*(2B out) + 4B scratch
+    rows = (_VMEM_BUDGET - fixed) // per_row
+    return max(8, int(rows) // 8 * 8)
+
+
+def _fit_tiles(Mp: int, K: int, N: int, exact_n: bool) -> tuple:
+    """Measured tile policy, now VMEM-budget-aware (VERDICT r4 #1).
+
+    Wider tiles lengthen the per-row HBM runs and amortize per-instance
+    overhead — tile_n 512→1024 and tile_k 1024→2048 each bought 10-25% at 8B
+    shapes (tools/exp_int4_kernel.py run 3-5) — so prefer the widest pair
+    whose blocks FIT the scoped-VMEM budget at this Mp. Decode shapes
+    (Mp ≤ ~64) always take the round-4 winners (2048, 1024); long-prompt
+    prefill (the shape that OOM'd) walks down to tiles that fit, and
+    ``_q4_chunk_rows`` splits M as the last resort. Prefill is one-shot, so
+    narrower tiles / an extra weight stream there cost nothing off the
+    steady-state decode path.
+
+    K must tile EXACTLY: the pair4 quarter-plane boundaries sit at K/4 of
+    the ORIGINAL K, so zero-padding the word rows would shear the kernel's
+    (xq quarter, absmax quarter) split off the packing's. N-padding only
+    appends columns and stays exact — allowed up to ~6% waste on the 2D
+    path (padding is real HBM traffic: zero words still stream); the
+    stacked path (exact_n=True) never pads (it would copy the whole layer
+    stack).
+
+    Returns (tile_n, tile_k, rows); (None, None, None) if N is untileable
+    under exact_n (caller falls back to the 2D / XLA path)."""
+    ks = [t for t in (2048, 1024, 512) if K % t == 0]
+    if not ks:
+        return None, None, None
+    if N < 256 and not exact_n:
+        ns = [128]
+    else:
+        ns = [t for t in (1024, 512, 256, 128)
+              if N % t == 0 or (not exact_n and t >= 256
+                                and ((-N) % t) / N <= 0.06)]
+    if not ns:
+        return None, None, None
+    for tk in ks:
+        for tn in ns:
+            if _q4_vmem_bytes(Mp, tn, tk) <= _VMEM_BUDGET:
+                return tn, tk, Mp
+    tn, tk = ns[-1], ks[-1]
+    return tn, tk, _q4_chunk_rows(Mp, tn, tk)
 
 
 @functools.partial(jax.jit, static_argnames=("tile_n", "tile_k", "codec"))
@@ -286,22 +360,32 @@ def _nf4_matmul_2d(x: jax.Array, packed: jax.Array, absmax: jax.Array,
                    codec: str = "nf4") -> jax.Array:
     """x: [M, K]; packed: [K/8, N] int32 pair4 words; absmax: [K/64, N] f32.
 
-    tile_n/tile_k = 0 means the measured ``_pick_tiles`` policy. Requires
+    tile_n/tile_k = 0 means the measured ``_fit_tiles`` policy. Requires
     K % 512 == 0 (the quarter-planes must align to absmax blocks AND tile
-    exactly — see _pick_tiles) — ``quant_matmul`` falls back to the XLA path
-    for other shapes."""
+    exactly — see _fit_tiles) — ``quant_matmul`` falls back to the XLA path
+    for other shapes. Large M (long-prompt prefill / wide tree verify) is
+    split into row chunks that fit the scoped-VMEM budget (VERDICT r4 #1);
+    the reference handles arbitrary prompt lengths up to
+    max_position_embeddings (ref: sampling/speculative_decoding.py:77), so
+    this path must too."""
     M, K = x.shape
     K8, N = packed.shape
     assert K == K8 * 8 and K % (8 * NF4_BLOCK) == 0, (
         f"pair4 kernel needs K % 512 == 0, got K={K}")
+    Mp = max(8, ((M + 7) // 8) * 8)
     if not tile_n or not tile_k:
-        tile_n, tile_k = _pick_tiles(K, N)
+        tile_n, tile_k, _ = _fit_tiles(Mp, K, N, exact_n=False)
     assert tile_k % (8 * NF4_BLOCK) == 0 and K % tile_k == 0, (
         f"tile_k={tile_k} must divide K={K} and be a multiple of 512")
+    rows = _q4_chunk_rows(Mp, tile_n, tile_k)
+    if Mp > rows:
+        outs = [_nf4_matmul_2d(x[i:i + rows], packed, absmax,
+                               tile_n=tile_n, tile_k=tile_k, codec=codec)
+                for i in range(0, M, rows)]
+        return jnp.concatenate(outs, axis=0)
     tk8 = tile_k // 8
     nb2 = 2 * (tk8 // NF4_BLOCK)
 
-    Mp = max(8, ((M + 7) // 8) * 8)
     packed = _pad_to(packed, 1, tile_n)
     absmax = _pad_to(absmax, 1, tile_n)
     K8p, Np = packed.shape
@@ -360,15 +444,24 @@ def _q4_matmul_stacked(x: jax.Array, packed: jax.Array, absmax: jax.Array,
     ``idx`` of the stacked HBM arrays (the same mechanism the paged-
     attention kernel uses for page tables). Requires exact tiling (no
     padding — padding would copy the whole stack); quant_matmul_stacked
-    gates shapes."""
+    gates shapes. Large M is split into scoped-VMEM-sized row chunks —
+    round 4 shipped this kernel without the guard and an Mp=1024 8B
+    prefill died at compile (18.12M vs the 16M scoped-vmem limit,
+    VERDICT r4 #1)."""
     M, K = x.shape
     L, K8, N = packed.shape
     assert K == K8 * 8 and K % tile_k == 0 and N % tile_n == 0
+    Mp = max(8, ((M + 7) // 8) * 8)
+    rows = _q4_chunk_rows(Mp, tile_n, tile_k)
+    if Mp > rows:
+        outs = [_q4_matmul_stacked(x[i:i + rows], packed, absmax, idx,
+                                   tile_n=tile_n, tile_k=tile_k, codec=codec)
+                for i in range(0, M, rows)]
+        return jnp.concatenate(outs, axis=0)
     tk8 = tile_k // 8
     nb2 = 2 * (tk8 // NF4_BLOCK)
     B4 = K // (4 * NF4_BLOCK)
 
-    Mp = max(8, ((M + 7) // 8) * 8)
     xp = _pad_to(x, 0, Mp)[:Mp].astype(jnp.bfloat16)
     am = absmax.reshape(L, B4, 4, N)
 
@@ -412,25 +505,22 @@ def _q4_matmul_stacked(x: jax.Array, packed: jax.Array, absmax: jax.Array,
     return out[:M]
 
 
-def _stacked_tiles(K: int, N: int):
-    """Exact-divisor tiles for the stacked path (None = not tileable —
-    padding is off the table: it would copy the whole layer stack)."""
-    tile_k = next((t for t in (2048, 1024, 512) if K % t == 0), None)
-    tile_n = next((t for t in (1024, 512, 256, 128) if N % t == 0), None)
-    return tile_n, tile_k
-
-
 def quant_matmul_stacked(x: jax.Array, w, idx: jax.Array) -> jax.Array:
     """x @ w[idx] for a STACKED 4-bit container (leaves [L, ...]) without
     materializing the layer (see _q4_matmul_stacked). Falls back to a
     dynamic-slice + the 2D path off-TPU or for shapes the stacked kernel
-    can\'t tile exactly."""
+    can\'t tile exactly. Tile selection is VMEM-budget-aware (large M
+    shrinks tiles before the kernel chunks rows — VERDICT r4 #1)."""
     from specdec_tpu.quant.core import FP4Weight, Int4Weight
 
     lead = x.shape[:-1]
     K = x.shape[-1]
     L, K8, N = w.packed.shape
-    tile_n, tile_k = _stacked_tiles(K, N)
+    M = 1
+    for d in lead:
+        M *= d
+    Mp = max(8, ((M + 7) // 8) * 8)
+    tile_n, tile_k, _ = _fit_tiles(Mp, K, N, exact_n=True)
     if (_use_pallas(w) and K % (8 * NF4_BLOCK) == 0
             and tile_n is not None and tile_k is not None):
         codec = ("fp4" if isinstance(w, FP4Weight)

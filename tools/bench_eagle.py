@@ -40,21 +40,13 @@ def main():
     from specdec_tpu.sampling.processors import MultinomialProcessor
 
     log(f"backend={jax.default_backend()}")
-    DEPTH = int(os.getenv("EAGLE_DEPTH", "1"))
+    DEPTHS = [int(d) for d in os.getenv("EAGLE_DEPTH", "1").split(",")]
     STEPS = int(os.getenv("EAGLE_STEPS", "300"))
+    ROLLOUT = int(os.getenv("EAGLE_ROLLOUT", "1"))
     GEN = int(os.getenv("EAGLE_GEN", "512"))
     REPS = int(os.getenv("EAGLE_REPS", "3"))
 
     t_cfg, d_cfg, target, drafter = build_pair(quant="none")
-    e_cfg = t_cfg.replace(num_layers=DEPTH)
-
-    t0 = time.time()
-    ep = init_eagle_params(e_cfg, jax.random.key(7))
-    ep, acc_proxy = train_eagle(
-        t_cfg, target, e_cfg, ep, steps=STEPS, batch_size=8, seq_len=128,
-        learning_rate=1e-3, log_every=max(1, STEPS // 6), log_fn=log)
-    log(f"train: {STEPS} steps in {time.time() - t0:.1f}s, "
-        f"teacher-forced acceptance proxy {acc_proxy:.3f}")
 
     proc = MultinomialProcessor(temperature=1.0)
     rng = np.random.default_rng(0)
@@ -62,48 +54,69 @@ def main():
 
     ar_tps = measure_ar(t_cfg, target, prompt, GEN, proc, reps=REPS)
 
-    for gamma in (3, 5, 8):
+    for depth in DEPTHS:
+        # VERDICT r4 #5: take the arena-validated depth recipe (on-policy +
+        # HASS rollout) to the BASELINE-ladder 1.1B bench target.
+        e_cfg = t_cfg.replace(num_layers=depth)
         t0 = time.time()
-        out, rate = eagle_generate(prompt, e_cfg, ep, t_cfg, target,
-                                   gamma=gamma, max_gen_len=GEN,
-                                   logits_processor=proc, eos_tokens_id=(),
-                                   key=jax.random.key(100))
-        log(f"EAGLE chain(g={gamma}) compile+run {time.time() - t0:.1f}s")
-        times, rates = [], []
-        for i in range(REPS):
+        ep = init_eagle_params(e_cfg, jax.random.key(7))
+        ep, acc_proxy = train_eagle(
+            t_cfg, target, e_cfg, ep, steps=STEPS, batch_size=8,
+            seq_len=128, learning_rate=1e-3, rollout_steps=ROLLOUT,
+            log_every=max(1, STEPS // 6), log_fn=log)
+        log(f"depth {depth}: {STEPS} steps (rollout {ROLLOUT}) in "
+            f"{time.time() - t0:.1f}s, teacher-forced acceptance proxy "
+            f"{acc_proxy:.3f}")
+
+        for gamma in (3, 5, 8):
             t0 = time.time()
             out, rate = eagle_generate(prompt, e_cfg, ep, t_cfg, target,
                                        gamma=gamma, max_gen_len=GEN,
                                        logits_processor=proc,
                                        eos_tokens_id=(),
-                                       key=jax.random.key(101 + i))
-            times.append(time.time() - t0)
-            rates.append(rate)
-        best = min(times)
-        log(f"EAGLE chain gamma={gamma}: {len(out)} tok, best {best:.2f}s = "
-            f"{len(out) / best:.1f} tok/s, acceptance "
-            f"{sum(rates) / len(rates):.3f}, vs AR "
-            f"{len(out) / best / ar_tps:.2f}x")
+                                       key=jax.random.key(100))
+            log(f"EAGLE d={depth} chain(g={gamma}) compile+run "
+                f"{time.time() - t0:.1f}s")
+            times, rates = [], []
+            for i in range(REPS):
+                t0 = time.time()
+                out, rate = eagle_generate(prompt, e_cfg, ep, t_cfg, target,
+                                           gamma=gamma, max_gen_len=GEN,
+                                           logits_processor=proc,
+                                           eos_tokens_id=(),
+                                           key=jax.random.key(101 + i))
+                times.append(time.time() - t0)
+                rates.append(rate)
+            best = min(times)
+            log(f"EAGLE d={depth} chain gamma={gamma}: {len(out)} tok, best "
+                f"{best:.2f}s = {len(out) / best:.1f} tok/s, acceptance "
+                f"{sum(rates) / len(rates):.3f}, vs AR "
+                f"{len(out) / best / ar_tps:.2f}x")
 
-    for branching in ((3, 2, 1), (2, 2, 2), (4, 2)):
-        t0 = time.time()
-        out, rate = eagle_tree_generate(prompt, e_cfg, ep, t_cfg, target,
-                                        branching=branching, max_gen_len=GEN,
-                                        eos_tokens_id=())
-        log(f"EAGLE tree{branching} compile+run {time.time() - t0:.1f}s")
-        times, rates = [], []
-        for i in range(REPS):
+        for branching in ((3, 2, 1), (2, 2, 2), (4, 2)):
             t0 = time.time()
-            out, rate = eagle_tree_generate(
-                prompt, e_cfg, ep, t_cfg, target, branching=branching,
-                max_gen_len=GEN, eos_tokens_id=())
-            times.append(time.time() - t0)
-            rates.append(rate)
-        best = min(times)
-        log(f"EAGLE tree {branching}: {len(out)} tok (greedy), best "
-            f"{best:.2f}s = {len(out) / best:.1f} tok/s, chain-depth rate "
-            f"{sum(rates) / len(rates):.3f}, vs AR "
-            f"{len(out) / best / ar_tps:.2f}x")
+            out, rate = eagle_tree_generate(prompt, e_cfg, ep, t_cfg,
+                                            target, branching=branching,
+                                            max_gen_len=GEN,
+                                            logits_processor=proc,
+                                            eos_tokens_id=(),
+                                            key=jax.random.key(100))
+            log(f"EAGLE d={depth} tree{branching} compile+run "
+                f"{time.time() - t0:.1f}s")
+            times, rates = [], []
+            for i in range(REPS):
+                t0 = time.time()
+                out, rate = eagle_tree_generate(
+                    prompt, e_cfg, ep, t_cfg, target, branching=branching,
+                    max_gen_len=GEN, logits_processor=proc,
+                    eos_tokens_id=(), key=jax.random.key(101 + i))
+                times.append(time.time() - t0)
+                rates.append(rate)
+            best = min(times)
+            log(f"EAGLE d={depth} tree {branching}: {len(out)} tok "
+                f"(sampled), best {best:.2f}s = {len(out) / best:.1f} "
+                f"tok/s, acceptance {sum(rates) / len(rates):.3f}, vs AR "
+                f"{len(out) / best / ar_tps:.2f}x")
 
     spec_tps, acc = measure_spec(d_cfg, drafter, t_cfg, target, prompt, GEN,
                                  8, proc, reps=REPS)
