@@ -29,7 +29,9 @@ import jax.numpy as jnp
 
 from bench import log, measure_ar, measure_spec  # noqa: E402
 
-DRAFT_LAYERS = 4   # 4-of-32 prefix: the 8L drafter costs ~5.8 ms/draft
+DRAFT_LAYERS = 6   # round-5 sweep optimum: 6L g6 = 2.32x at 0.785 acc
+                   # (4L loses acceptance faster than it saves draft time,
+                   # 8L pays +33% draft for +0.03 acc — docs/BENCHMARKS.md)
 TAIL_DAMP = 0.08   # step at 8B (head included) and caps spec/AR at ~1.9x
 
 

@@ -30,10 +30,14 @@ def log(*a):
 def xla_oracle(q, k_pool, v_pool, table, offsets, Hk):
     """Gather pages then dense masked attention — the reference semantics."""
     from specdec_tpu.core.paged_cache import gather_pages
-    B, T, Hq, Dh = q.shape
-    G = Hq // Hk
     k = gather_pages(k_pool, table)            # [B, S, Hk, Dh]
     v = gather_pages(v_pool, table)
+    return dense_masked_attn(q, k, v, offsets, Hk)
+
+
+def dense_masked_attn(q, k, v, offsets, Hk):
+    B, T, Hq, Dh = q.shape
+    G = Hq // Hk
     S = k.shape[1]
     qg = q.reshape(B, T, Hk, G, Dh)
     scores = jnp.einsum("bthgd,bshd->bhgts", qg, k) / (Dh ** 0.5)
@@ -93,15 +97,19 @@ def sweep_quant_kernel(Hq=32, Hk=4, Dh=64, page=64, B=4, T=9):
     the int8 pool and print the measured crossover — the number serving's
     length-aware selection keys on."""
     from specdec_tpu.core.cache import quantize_kv_block
+    from specdec_tpu.core.paged_cache import gather_page_scales, gather_pages
     from specdec_tpu.ops.paged_attention import paged_decode_attention_quant
 
     def oracle(q, kq, ks, vq, vs, table, off, Hk):
-        # dequantize gathered pages, then the XLA reference attention
-        kd = (kq.astype(jnp.float32)
-              * ks[..., None]).astype(q.dtype)
-        vd = (vq.astype(jnp.float32)
-              * vs[..., None]).astype(q.dtype)
-        return xla_oracle(q, kd, vd, table, off, Hk)
+        # gather int8 pages + scales FIRST, dequantize only the gathered
+        # block (what serving's XLA fallback does — dequantizing the whole
+        # pool before the gather would also be loop-invariant-hoistable
+        # under the differential timing harness and read as free)
+        kd = (gather_pages(kq, table).astype(jnp.float32)
+              * gather_page_scales(ks, table)[..., None]).astype(q.dtype)
+        vd = (gather_pages(vq, table).astype(jnp.float32)
+              * gather_page_scales(vs, table)[..., None]).astype(q.dtype)
+        return dense_masked_attn(q, kd, vd, off, Hk)
 
     oracle_j = jax.jit(oracle, static_argnames=("Hk",))
     rng = np.random.default_rng(0)
@@ -134,31 +142,35 @@ def sweep_quant_kernel(Hq=32, Hk=4, Dh=64, page=64, B=4, T=9):
             # chained dispatches host-side and the ~35 ms tunnel
             # dispatch/pull jitter (0.7 ms/iter amortized — the size of the
             # signal) made the table non-monotonic (VERDICT r4 #3).
+            # the PAGE TABLE rides the carry (not q): with only q perturbed,
+            # the oracle's gather/dequant chain is loop-invariant and XLA
+            # hoists it out of the fori_loop — measured 0.004 ms "oracle"
+            # times that were just the attention math
             from jax import lax
 
             @jax.jit
-            def run(reps, qq):
+            def run(reps, tb):
                 def body(i, s):
-                    out = fn(qq + s * 1e-30)
+                    out = fn(tb + jnp.int32(s * 1e-30))
                     return out.reshape(-1)[0].astype(jnp.float32) * 1e-30
                 return lax.fori_loop(0, reps, body, jnp.float32(0.0))
 
-            float(run(2, q))
+            float(run(2, table))
             t0 = time.time()
-            float(run(50, q))
+            float(run(50, table))
             pilot = (time.time() - t0) / 50
             r1 = max(50, int(0.08 / max(pilot, 1e-7)))
             r2 = r1 + max(200, int(0.4 / max(pilot, 1e-7)))
             best = float("inf")
             for _ in range(3):
-                t0 = time.time(); float(run(r1, q)); t1 = time.time() - t0
-                t0 = time.time(); float(run(r2, q)); t2 = time.time() - t0
+                t0 = time.time(); float(run(r1, table)); t1 = time.time() - t0
+                t0 = time.time(); float(run(r2, table)); t2 = time.time() - t0
                 best = min(best, (t2 - t1) / (r2 - r1))
             return best * 1000
 
-        kern = timed(lambda qq: paged_decode_attention_quant(
-            qq, kq, ks, vq, vs, table, off, Hk))
-        orac = timed(lambda qq: oracle_j(qq, kq, ks, vq, vs, table, off,
+        kern = timed(lambda tb: paged_decode_attention_quant(
+            q, kq, ks, vq, vs, tb, off, Hk))
+        orac = timed(lambda tb: oracle_j(q, kq, ks, vq, vs, tb, off,
                                          Hk=Hk))
         rows.append((S, kern, orac))
         log(f"  S={S:5d}: quant kernel {kern:.3f} ms vs gather oracle "

@@ -279,9 +279,12 @@ def _pad_rows(M):
 
 
 @functools.partial(jax.jit, static_argnames=("kern", "layout", "tile_n",
-                                             "tile_k"))
+                                             "tile_k", "parallel_n"))
 def planar_matmul(x, packed, absmax, kern="planar_block", layout="planar8",
-                  tile_n=512, tile_k=1024):
+                  tile_n=512, tile_k=1024, parallel_n=False):
+    """parallel_n marks the n grid dim "parallel" (each output stripe is
+    independent — only k carries the accumulator) so Mosaic may pipeline
+    stripes more aggressively (round-5 roofline-push candidate)."""
     M, K = x.shape
     K8, N = packed.shape
     assert K == 8 * K8 and K % (8 * BLOCK) == 0
@@ -345,6 +348,8 @@ def planar_matmul(x, packed, absmax, kern="planar_block", layout="planar8",
            "pair_interleave": functools.partial(_k_pair, order="interleave"),
            }[kern]
     grid = (N // tile_n, K8 // tk8)
+    cp = (pltpu.CompilerParams(dimension_semantics=("parallel", "arbitrary"))
+          if parallel_n else None)
     out = pl.pallas_call(
         kfn,
         grid=grid,
@@ -358,6 +363,7 @@ def planar_matmul(x, packed, absmax, kern="planar_block", layout="planar8",
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.bfloat16),
         scratch_shapes=[pltpu.VMEM((Mp, tile_n), jnp.float32)],
+        compiler_params=cp,
         cost_estimate=pl.CostEstimate(
             flops=2 * Mp * K * N,
             bytes_accessed=Mp * K * 2 + K8 * N * 4 + Mp * N * 2,
@@ -511,6 +517,23 @@ def main():
             "pair_kouter_n2048k2048": (lambda x_: planar_matmul(
                 x_, p4, amd, kern="pair_kouter", layout="pair4",
                 tile_n=2048, tile_k=2048),),
+            # --- round-5 roofline-push candidates (VERDICT r4 #8) ---
+            "pair_par_n1024k2048": (lambda x_: planar_matmul(
+                x_, p4, amd, kern="pair_interleave", layout="pair4",
+                tile_n=1024, tile_k=2048, parallel_n=True),),
+            "pair_n2048k2048": (lambda x_: planar_matmul(
+                x_, p4, amd, kern="pair_interleave", layout="pair4",
+                tile_n=2048, tile_k=2048),),
+            "pair_n1024k4096": (lambda x_: planar_matmul(
+                x_, p4, amd, kern="pair_interleave", layout="pair4",
+                tile_n=1024, tile_k=(4096 if K % 4096 == 0 else 2048)),),
+            "pair_par_n1024k4096": (lambda x_: planar_matmul(
+                x_, p4, amd, kern="pair_interleave", layout="pair4",
+                tile_n=1024, tile_k=(4096 if K % 4096 == 0 else 2048),
+                parallel_n=True),),
+            "pair_n2048k4096": (lambda x_: planar_matmul(
+                x_, p4, amd, kern="pair_interleave", layout="pair4",
+                tile_n=2048, tile_k=(4096 if K % 4096 == 0 else 2048)),),
             "int4_xla_s4": (xla_native, w_s4, am_j),
             "int4_xla_blk": (xla_block, w_s4, am_j),
             "int8": (lambda x_: _int8_matmul_2d(x_, q8.q, q8.scale),),

@@ -70,12 +70,20 @@ def dev_time_window(window_fn, state, n_pilot=8):
 
 
 def dev_time_forward(fwd_fn, tokens, cache):
-    """Same harness for a bare forward step: tokens perturbed through the
-    carry so the body is not loop-invariant."""
+    """Same harness for a bare forward step: tokens AND the paged cache's
+    page table ride the carry — with a constant table the XLA gather path's
+    page gather is loop-invariant and gets hoisted out of the fori_loop
+    (measured: 'gather' times that were just the attention math)."""
+    import dataclasses
+
     @jax.jit
     def run(reps, toks, c):
         def body(i, s):
-            logits, _ = fwd_fn(toks + jnp.int32(s * 1e-30), c)
+            ds = jnp.int32(s * 1e-30)
+            cc = c
+            if hasattr(c, "page_table"):
+                cc = dataclasses.replace(c, page_table=c.page_table + ds)
+            logits, _ = fwd_fn(toks + ds, cc)
             return logits.astype(jnp.float32).reshape(-1)[0] * 1e-30
         return lax.fori_loop(0, reps, body, jnp.float32(0.0))
 
