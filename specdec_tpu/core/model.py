@@ -485,10 +485,15 @@ def forward_step_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
         # same VMEM guard as the flash path (_attention): both paged kernels
         # hold the whole [T*G, Dh] query block plus f32 scratch in VMEM, so
         # prefill-sized T (chunked-admission blocks at high GQA ratios) must
-        # take the gather path rather than fail Mosaic compilation at runtime
-        use_kernel = (jax.default_backend() == "tpu"
-                      and cfg.logit_softcap == 0.0
-                      and T * cfg.q_per_kv <= 1024)
+        # take the gather path rather than fail Mosaic compilation at runtime.
+        # SPECDEC_PAGED_KERNEL=kernel|gather forces one path (A/B probes and
+        # regime-specific serving overrides; tools/exp_paged_residual.py).
+        import os
+        mode = os.getenv("SPECDEC_PAGED_KERNEL", "auto").lower()
+        ok = (jax.default_backend() == "tpu"
+              and cfg.logit_softcap == 0.0
+              and T * cfg.q_per_kv <= 1024)
+        use_kernel = False if mode == "gather" else ok
 
     x = params["embed"][tokens].astype(cfg.dtype)
     if cfg.embed_scale != 1.0:  # gemma: sqrt(hidden) on the embedding only

@@ -1,27 +1,30 @@
 """Attribute the hybrid-paged 0.92x closed-loop residual (VERDICT r4 #4).
 
 Round 4 excluded page size (0.92x at ps32, 0.83x at ps128); the standing
-hypothesis was "decode-window gather cost". This measures it directly with
-device-side differential timing (the exp_int4_kernel.py fori_loop method —
-host-side rep loops are ~35 ms dispatch-jitter-bound on this tunnel):
+hypothesis was "decode-window gather cost". This decomposes the residual
+using ONLY production program shapes — a first version wrapped the window
+in a custom fori_loop harness and the remote compile service dropped it
+(broken pipe, its known large-program failure). Method: time
+``batch_spec_windows`` (the exact multi-window program serving dispatches)
+at W=4 vs W=36 and take the difference — the ~35 ms tunnel dispatch cost
+cancels in the differential, leaving pure device time per window. Rows:
 
-  A. one slotted decode window    (batch_engine._spec_window_body)
-  B. one hybrid decode window     (same program, paged target cache)
-  C. the T=gamma+1 target VERIFY forward alone, slotted vs paged
-     (kernel path and gather path)
-  D. the paged K/V WRITE (write_block_paged scatter) vs the slotted
-     dynamic-update-slice write, isolated
+  A. slotted batcher window      (drafter slotted, target slotted)
+  B. hybrid batcher window       (drafter slotted, target PAGED — default)
+  B'. hybrid, gather path forced  (SPECDEC_PAGED_KERNEL=gather)
+  C. fully-paged batcher window  (drafter_paged=True)
 
-If (B - A) is explained by C's delta, the residual is the verify step and
-the kernel-vs-gather split inside C names the component; D catches the
-other candidate (the per-window page scatter). A jax.profiler trace of 8
-hybrid windows is captured for op-name corroboration (r4 method).
+B−A = the paged-target cost (the residual, per window); C−B = the paged-
+drafter increment (why hybrid is the default); B'−B = kernel-vs-gather at
+the true serving shape. A jax.profiler trace of one W=8 dispatch is
+captured for op-name corroboration.
 
 Run detached on chip:
   PYTHONPATH=/root/repo setsid nohup python tools/exp_paged_residual.py \
-      > /tmp/r5logs/paged_residual.log 2>&1 &
+      > /tmp/r5logs/paged_residual_v2.log 2>&1 &
 """
 import glob
+import json
 import os
 import sys
 import time
@@ -31,81 +34,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax import lax
+
+GAMMA, SLOTS, GEN = 8, 8, 1024  # cap far above W2 windows of commits
+W1, W2 = 4, 36
 
 
 def log(*a):
     print(*a, flush=True)
 
 
-def dev_time_window(window_fn, state, n_pilot=8):
-    """Differential device-side timing of a decode-window program.
-
-    Each rep re-runs the window from the SAME initial state (so page
-    occupancy and cache positions never drift past their backing), keyed by
-    the induction variable so WhileLoopInvariantCodeMotion can't hoist the
-    body."""
-    key0 = jax.random.key(0)
-
-    @jax.jit
-    def run(reps, st0):
-        def body(i, s):
-            key = jax.random.fold_in(key0, i + jnp.int32(s))
-            new = window_fn(st0, key)
-            return new.pos.astype(jnp.float32).sum() * 1e-30
-        return lax.fori_loop(0, reps, body, jnp.float32(0.0))
-
-    float(run(2, state))
-    t0 = time.time()
-    float(run(n_pilot, state))
-    pilot = (time.time() - t0) / n_pilot
-    r1 = max(8, int(0.1 / max(pilot, 1e-7)))
-    r2 = r1 + max(24, int(0.5 / max(pilot, 1e-7)))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.time(); float(run(r1, state)); t1 = time.time() - t0
-        t0 = time.time(); float(run(r2, state)); t2 = time.time() - t0
-        best = min(best, (t2 - t1) / (r2 - r1))
-    return best * 1000
-
-
-def dev_time_forward(fwd_fn, tokens, cache):
-    """Same harness for a bare forward step: tokens AND the paged cache's
-    page table ride the carry — with a constant table the XLA gather path's
-    page gather is loop-invariant and gets hoisted out of the fori_loop
-    (measured: 'gather' times that were just the attention math)."""
-    import dataclasses
-
-    @jax.jit
-    def run(reps, toks, c):
-        def body(i, s):
-            ds = jnp.int32(s * 1e-30)
-            cc = c
-            if hasattr(c, "page_table"):
-                cc = dataclasses.replace(c, page_table=c.page_table + ds)
-            logits, _ = fwd_fn(toks + ds, cc)
-            return logits.astype(jnp.float32).reshape(-1)[0] * 1e-30
-        return lax.fori_loop(0, reps, body, jnp.float32(0.0))
-
-    float(run(2, tokens, cache))
-    t0 = time.time()
-    float(run(8, tokens, cache))
-    pilot = (time.time() - t0) / 8
-    r1 = max(8, int(0.1 / max(pilot, 1e-7)))
-    r2 = r1 + max(24, int(0.5 / max(pilot, 1e-7)))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.time(); float(run(r1, tokens, cache)); t1 = time.time() - t0
-        t0 = time.time(); float(run(r2, tokens, cache)); t2 = time.time() - t0
-        best = min(best, (t2 - t1) / (r2 - r1))
-    return best * 1000
-
-
-def build_batcher(paged, gamma, slots, gen):
+def build_models():
     from specdec_tpu.core.config import ModelConfig
     from specdec_tpu.core.model import init_params
-    from specdec_tpu.serve.scheduler import ContinuousBatcher
-    from specdec_tpu.serve.paged_scheduler import PagedContinuousBatcher
 
     V = 32000
     if os.getenv("RESIDUAL_SMALL"):   # CPU smoke of the harness logic
@@ -121,134 +61,137 @@ def build_batcher(paged, gamma, slots, gen):
                             num_heads=32, num_kv_heads=4, head_dim=64,
                             max_position_embeddings=2048, rope_theta=10000.0,
                             dtype=jnp.bfloat16)
-    d_cfg = t_cfg.replace(num_layers=4)
+    d_cfg = t_cfg.replace(num_layers=min(4, t_cfg.num_layers))
     base = init_params(t_cfg, jax.random.key(0), scale=0.02)
-    mask = (jnp.arange(t_cfg.num_layers) >= 4).astype(jnp.float32)
+    nl = d_cfg.num_layers
+    mask = (jnp.arange(t_cfg.num_layers) >= nl).astype(jnp.float32)
     sv = (1.0 - mask) + mask * 0.08
     layers = dict(base["layers"])
     for nm in ("wo", "w_down"):
         layers[nm] = (base["layers"][nm].astype(jnp.float32)
-                      * sv[:, None, None]).astype(jnp.bfloat16)
+                      * sv[:, None, None]).astype(t_cfg.dtype)
     target = dict(base, layers=layers)
     drafter = dict(target)
-    drafter["layers"] = jax.tree.map(lambda x: x[:4], target["layers"])
+    drafter["layers"] = jax.tree.map(lambda x: x[:nl], target["layers"])
     _ = np.asarray(target["embed"][0, :1])
+    return V, t_cfg, d_cfg, target, drafter
 
-    kw = dict(gamma=gamma, num_slots=slots, windows_per_sync=1,
-              max_new_tokens=gen)
-    if paged:
-        S = 256 + gen + gamma + 2
-        b = PagedContinuousBatcher(d_cfg, drafter, t_cfg, target,
-                                   page_size=64,
-                                   pool_tokens=(slots + 1) * S, **kw)
-    else:
+
+def build_batcher(V, t_cfg, d_cfg, target, drafter, kind):
+    from specdec_tpu.serve.scheduler import ContinuousBatcher
+    from specdec_tpu.serve.paged_scheduler import PagedContinuousBatcher
+
+    kw = dict(gamma=GAMMA, num_slots=SLOTS, windows_per_sync=W2,
+              max_new_tokens=GEN)
+    if kind == "slotted":
         b = ContinuousBatcher(d_cfg, drafter, t_cfg, target, **kw)
-    return t_cfg, d_cfg, target, drafter, b
-
-
-def steady_state(b, slots, gen, vocab):
+    else:
+        S = 256 + GEN + GAMMA + 2
+        b = PagedContinuousBatcher(d_cfg, drafter, t_cfg, target,
+                                   page_size=64, pool_tokens=(SLOTS + 2) * S,
+                                   drafter_paged=(kind == "fullpaged"), **kw)
     rng = np.random.default_rng(1)
-    for n in rng.integers(30, 200, size=slots):
-        b.submit([int(t) for t in rng.integers(1, vocab, size=int(n))],
-                 max_new_tokens=gen)
-    for _ in range(3):   # admit + a few windows; leaves pages topped up
-        b.step()
-    return b.state
+    for n in rng.integers(30, 200, size=SLOTS):
+        b.submit([int(t) for t in rng.integers(1, V, size=int(n))],
+                 max_new_tokens=GEN)
+    b.step()           # admit + one multi-window dispatch; tops up pages
+    return b
+
+
+def window_ms(b, t_cfg, d_cfg, target, drafter, label, reps=5):
+    """Differential timing of the production batch_spec_windows program:
+    (t(W2) - t(W1)) / (W2 - W1); each call runs on a fresh COPY of the
+    steady state (the jit donates its state argument)."""
+    from specdec_tpu.engine.batch_engine import batch_spec_windows
+
+    state = b.state
+    key = jax.random.key(7)
+
+    def run(W, i):
+        st = jax.tree.map(jnp.array, state)       # donation-safe copy
+        out = batch_spec_windows(d_cfg, drafter, t_cfg, target, st, GAMMA,
+                                 b.processor, (), False,
+                                 jax.random.fold_in(key, i), W)
+        _ = np.asarray(out.pos)
+
+    for W in (W1, W2):                             # compile both shapes
+        t0 = time.time()
+        run(W, 0)
+        log(f"  [{label}] W={W} compile+run {time.time() - t0:.1f}s")
+    best = float("inf")
+    for i in range(reps):
+        t0 = time.time(); run(W1, 1 + i); t1 = time.time() - t0
+        t0 = time.time(); run(W2, 1 + i); t2 = time.time() - t0
+        best = min(best, (t2 - t1) / (W2 - W1))
+    ms = best * 1000
+    log(f"  [{label}] per-window {ms:.3f} ms (differential W{W1}/W{W2}, "
+        f"min of {reps})")
+    return ms
 
 
 def main():
-    from functools import partial
-    from specdec_tpu.engine.batch_engine import _spec_window_body
-    from specdec_tpu.core.model import forward_step, forward_step_paged
-    from specdec_tpu.sampling.processors import GreedyProcessor
+    if os.getenv("RESIDUAL_CPU"):   # harness smoke off-chip
+        jax.config.update("jax_platforms", "cpu")
+    log(f"backend={jax.default_backend()} "
+        f"paged_kernel={os.getenv('SPECDEC_PAGED_KERNEL', 'auto')}")
+    V, t_cfg, d_cfg, target, drafter = build_models()
 
-    log(f"backend={jax.default_backend()}")
-    GAMMA, SLOTS = 8, 8
-    proc = GreedyProcessor()
+    rows = {}
+    bslot = build_batcher(V, t_cfg, d_cfg, target, drafter, "slotted")
+    rows["A_slotted"] = window_ms(bslot, t_cfg, d_cfg, target, drafter,
+                                  "A slotted")
+    del bslot
 
-    t_cfg, d_cfg, target, drafter, bslot = build_batcher(
-        False, GAMMA, SLOTS, 512)
-    V = t_cfg.vocab_size
-    sstate = steady_state(bslot, SLOTS, 512, V)
-    _, _, _, _, bpage = build_batcher(True, GAMMA, SLOTS, 512)
-    pstate = steady_state(bpage, SLOTS, 512, V)
+    bhyb = build_batcher(V, t_cfg, d_cfg, target, drafter, "hybrid")
+    rows["B_hybrid"] = window_ms(bhyb, t_cfg, d_cfg, target, drafter,
+                                 "B hybrid")
 
-    def win(st, key):
-        return _spec_window_body(d_cfg, drafter, t_cfg, target, st,
-                                 GAMMA, proc, (), False, key)
+    # B': force the gather path at the same serving shape (recompiles the
+    # window program through the env knob in forward_step_paged)
+    os.environ["SPECDEC_PAGED_KERNEL"] = "gather"
+    from specdec_tpu.engine.batch_engine import batch_spec_windows
+    batch_spec_windows.clear_cache()
+    rows["Bp_hybrid_gather"] = window_ms(bhyb, t_cfg, d_cfg, target,
+                                         drafter, "B' hybrid gather-path")
+    os.environ["SPECDEC_PAGED_KERNEL"] = "auto"
+    batch_spec_windows.clear_cache()
 
-    a = dev_time_window(win, sstate)
-    log(f"A slotted window:        {a:.3f} ms")
-    b = dev_time_window(win, pstate)
-    log(f"B hybrid window:         {b:.3f} ms   (delta {b - a:+.3f} ms, "
-        f"ratio {a / b:.3f})")
-
-    # C: verify forward alone, T=gamma+1, same committed state
-    toks = sstate.buf[:, :GAMMA + 1]
-    c_slot = dev_time_forward(
-        lambda tk, c: forward_step(t_cfg, target, tk, c), toks,
-        sstate.t_cache)
-    log(f"C slotted verify T={GAMMA + 1}:  {c_slot:.3f} ms")
-    c_pk = dev_time_forward(
-        lambda tk, c: forward_step_paged(t_cfg, target, tk, c,
-                                         use_kernel=True),
-        toks, pstate.t_cache)
-    log(f"C paged verify (kernel): {c_pk:.3f} ms   (delta vs slotted "
-        f"{c_pk - c_slot:+.3f} ms)")
-    c_pg = dev_time_forward(
-        lambda tk, c: forward_step_paged(t_cfg, target, tk, c,
-                                         use_kernel=False),
-        toks, pstate.t_cache)
-    log(f"C paged verify (gather): {c_pg:.3f} ms   (delta vs slotted "
-        f"{c_pg - c_slot:+.3f} ms)")
-
-    # D: K/V write isolated — run the verify with a ZERO-layer... not
-    # separable that way; instead compare T=1 (write-dominated at tiny
-    # attention) deltas:
-    t1 = sstate.buf[:, :1]
-    d_slot = dev_time_forward(
-        lambda tk, c: forward_step(t_cfg, target, tk, c), t1, sstate.t_cache)
-    d_page = dev_time_forward(
-        lambda tk, c: forward_step_paged(t_cfg, target, tk, c,
-                                         use_kernel=True),
-        t1, pstate.t_cache)
-    log(f"D T=1 target step slotted {d_slot:.3f} / paged {d_page:.3f} ms "
-        f"(delta {d_page - d_slot:+.3f})")
-
-    # profiler corroboration: 8 hybrid windows
+    # profiler corroboration: ONE W=8 dispatch of the hybrid window
     trace_dir = "/tmp/specdec_trace_r5_paged"
     os.system(f"rm -rf {trace_dir}")
     try:
-        key = jax.random.key(9)
+        st = jax.tree.map(jnp.array, bhyb.state)
         jax.profiler.start_trace(trace_dir)
-        st = pstate
-        for i in range(8):
-            st = _spec_window_body(d_cfg, drafter, t_cfg, target, st,
-                                   GAMMA, proc, (), False,
-                                   jax.random.fold_in(key, i))
-        _ = np.asarray(st.pos)
+        out = batch_spec_windows(d_cfg, drafter, t_cfg, target, st, GAMMA,
+                                 bhyb.processor, (), False,
+                                 jax.random.key(9), W1)
+        _ = np.asarray(out.pos)
         jax.profiler.stop_trace()
         xs = [f for f in glob.glob(f"{trace_dir}/**/*", recursive=True)
               if f.endswith(".xplane.pb")]
         if xs:
             blob = open(xs[0], "rb").read()
             log(f"xplane size {len(blob)}")
-            for needle in (b"gather", b"scatter", b"dynamic-update",
-                           b"dynamic_update", b"copy", b"transpose",
+            for needle in (b"gather", b"scatter", b"dynamic-update-slice",
+                           b"dynamic-slice", b"copy", b"transpose",
                            b"paged", b"custom-call", b"fusion"):
                 log(f"  {needle.decode()}: {blob.count(needle)} hits")
     except Exception as e:
         log(f"profiler failed: {type(e).__name__}: {e}")
+    del bhyb
 
-    import json
-    print(json.dumps({
-        "slotted_window_ms": round(a, 3), "hybrid_window_ms": round(b, 3),
-        "window_delta_ms": round(b - a, 3),
-        "verify_slotted_ms": round(c_slot, 3),
-        "verify_paged_kernel_ms": round(c_pk, 3),
-        "verify_paged_gather_ms": round(c_pg, 3),
-        "t1_slotted_ms": round(d_slot, 3),
-        "t1_paged_ms": round(d_page, 3)}))
+    bfull = build_batcher(V, t_cfg, d_cfg, target, drafter, "fullpaged")
+    rows["C_fullpaged"] = window_ms(bfull, t_cfg, d_cfg, target, drafter,
+                                    "C fully-paged")
+    del bfull
+
+    a, bb = rows["A_slotted"], rows["B_hybrid"]
+    log(f"paged-target cost: {bb - a:+.3f} ms/window "
+        f"({a / bb:.3f} window ratio; warm closed-loop measured 0.92x)")
+    log(f"kernel vs gather at serving shape: "
+        f"{rows['Bp_hybrid_gather'] - bb:+.3f} ms/window for gather")
+    log(f"paged-drafter increment: {rows['C_fullpaged'] - bb:+.3f} ms/window")
+    print(json.dumps({k: round(v, 3) for k, v in rows.items()}))
 
 
 if __name__ == "__main__":
