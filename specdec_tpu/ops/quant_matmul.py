@@ -568,7 +568,10 @@ def quant_matmul(x: jax.Array,
     K = x.shape[-1]
     x2 = x.reshape(-1, K)
     use_pallas = _use_pallas(w)
-    if use_pallas and not isinstance(w, Int8Weight) and K % 256 != 0:
+    # the pair4 kernel needs K % 512 == 0 (quarter-planes must align to
+    # absmax blocks); the old % 256 gate let K=768-style shapes through to
+    # the kernel's assert instead of the XLA fallback
+    if use_pallas and not isinstance(w, Int8Weight) and K % 512 != 0:
         use_pallas = False
     if use_pallas:
         if isinstance(w, Int8Weight):
