@@ -187,9 +187,11 @@ def main():
     # longer generation amortizes it for BOTH AR and spec, and throughput is
     # a steady-state metric (gen-512 spec measured 1.16x the gen-256 rate)
     GEN = int(os.getenv("BENCH_GEN", "512"))
-    # gamma 10: the gen-512 sweep's best int4 operating point (2.86x vs
-    # int4 AR at 0.778 acceptance; gamma 8 gives 2.71x, gamma 12 2.81x)
-    GAMMA = int(os.getenv("BENCH_GAMMA", "10"))
+    # gamma 12: the round-5 calibration sweep's best int4 operating point
+    # (tools/bench_gamma_calib.py: 2.40x at g12 vs 2.31x at g10; the
+    # speedup surface is flat within ~0.1x across g6-g12 on the round-4
+    # kernel — shorter windows got relatively cheaper)
+    GAMMA = int(os.getenv("BENCH_GAMMA", "12"))
 
     ar_tps = measure_ar(t_cfg, target, prompt, GEN, proc)
     spec_tps, acc = measure_spec(d_cfg, drafter, t_cfg, target, prompt, GEN,
@@ -201,11 +203,16 @@ def main():
     from specdec_tpu.engine.gamma_tuner import (
         best_gamma, conditional_from_reference_rate,
     )
-    cost_ratio = DRAFT_LAYERS / t_cfg.num_layers  # bandwidth-bound approx
-    # measured on the gen-512 sweep: window = c_v + gamma*ratio*c_v +
-    # 0.57*c_v fixed (sampling/commit/accept work per window)
+    # ROUND-5 CALIBRATION (tools/bench_gamma_calib.py, real-chip gamma
+    # sweep + least-squares window fit on the round-4 kernel):
+    # window = 2.10 ms + 0.48 ms * gamma against t_ar 1.92 ms, i.e.
+    # cost_ratio 0.25 (the 4/22 layer-ratio prior underestimates the
+    # drafter's per-call overhead share) and window_overhead 0.089 (the
+    # round-2 constant 0.57 described the pre-rework kernel — windows got
+    # ~6x cheaper in fixed cost relative to an AR step)
+    cost_ratio = 0.25
     a_cond = conditional_from_reference_rate(acc, GAMMA)
-    g_opt, s_pred = best_gamma(a_cond, cost_ratio, window_overhead=0.57)
+    g_opt, s_pred = best_gamma(a_cond, cost_ratio, window_overhead=0.089)
     log(f"gamma model: reference-metric acceptance {acc:.3f} -> conditional "
         f"{a_cond:.3f}, cost ratio {cost_ratio:.2f} -> predicted best gamma "
         f"{g_opt} (predicted speedup {s_pred:.2f}x; measured {speedup:.2f}x "

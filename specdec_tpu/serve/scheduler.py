@@ -133,7 +133,7 @@ class ContinuousBatcher:
                  auto_gamma_max: int = 16,
                  auto_gamma_min_drafts: int = 256,
                  gamma_cost_ratio: Optional[float] = None,
-                 gamma_window_overhead: float = 0.57,
+                 gamma_window_overhead: float = 0.089,
                  key: Optional[jax.Array] = None):
         self.drafter_cfg, self.drafter_params = drafter_cfg, drafter_params
         self.target_cfg, self.target_params = target_cfg, target_params
@@ -148,12 +148,17 @@ class ContinuousBatcher:
         self.auto_gamma = auto_gamma
         self.auto_gamma_max = auto_gamma_max if auto_gamma else gamma
         self.auto_gamma_min_drafts = auto_gamma_min_drafts
+        # layer-ratio prior scaled by the measured per-call inflation
+        # (round-5 calibration, tools/bench_gamma_calib.py: the 4/22
+        # drafter fit to 0.25 of an AR step — per-call overheads don't
+        # shrink with layer count, so the raw ratio underestimates)
         self.gamma_cost_ratio = (
             gamma_cost_ratio
             if gamma_cost_ratio is not None
-            else drafter_cfg.num_layers / max(1, target_cfg.num_layers))
-        # measured fixed per-window dispatch overhead in AR-step units
-        # (docs/BENCHMARKS.md gamma-advisory calibration)
+            else 1.37 * drafter_cfg.num_layers / max(1, target_cfg.num_layers))
+        # measured fixed per-window overhead in AR-step units (round-5
+        # calibration: 0.089; the round-2 constant 0.57 described the
+        # pre-rework kernel's much larger fixed window cost)
         self.gamma_window_overhead = gamma_window_overhead
         self._auto_drafts = [0, 0]  # accepted, speculated since last retune
         self._gamma_switches = 0
