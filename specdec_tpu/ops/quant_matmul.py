@@ -65,6 +65,15 @@ _DECODERS = {
 }
 
 
+# Grid semantics for every (n, k) matmul grid here: output stripes along n
+# are independent ("parallel"), k carries the accumulator ("arbitrary").
+# Declaring this lets Mosaic pipeline stripes more aggressively — measured
+# round 5 (tools/exp_int4_kernel.py race, M=8 decode shapes): wo 468 -> 646
+# GB/s, gateup 544 -> 588, qkv 486 -> 504; neutral at M=12.
+_NK_PARALLEL = pltpu.CompilerParams(
+    dimension_semantics=("parallel", "arbitrary"))
+
+
 def _pad_to(x: jax.Array, axis: int, mult: int) -> jax.Array:
     size = x.shape[axis]
     pad = (-size) % mult
@@ -136,6 +145,7 @@ def _int8_matmul_2d(x: jax.Array, q: jax.Array, scale: jax.Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Mp, Np), jnp.bfloat16),
         scratch_shapes=[pltpu.VMEM((Mp, tile_n), jnp.float32)],
+        compiler_params=_NK_PARALLEL,
         cost_estimate=pl.CostEstimate(
             flops=2 * Mp * Kp * Np,
             bytes_accessed=Mp * Kp * 2 + Kp * Np + Mp * Np * 2,
@@ -424,6 +434,7 @@ def _nf4_matmul_2d(x: jax.Array, packed: jax.Array, absmax: jax.Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Mp, Np), jnp.bfloat16),
         scratch_shapes=[pltpu.VMEM((Mp, tile_n), jnp.float32)],
+        compiler_params=_NK_PARALLEL,
         cost_estimate=pl.CostEstimate(
             flops=2 * Mp * K * Np,
             bytes_accessed=Mp * K * 2 + K8 * Np * 4 + Mp * Np * 2,
@@ -497,6 +508,7 @@ def _q4_matmul_stacked(x: jax.Array, packed: jax.Array, absmax: jax.Array,
         kfn,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.bfloat16),
+        compiler_params=_NK_PARALLEL,
         cost_estimate=pl.CostEstimate(
             flops=2 * Mp * K * N,
             bytes_accessed=Mp * K * 2 + K8 * N * 4 + Mp * N * 2,
