@@ -158,77 +158,29 @@ def init_paged_cache(cfg, batch_size: int, num_pages: int, page_size: int,
     )
 
 
-def _window_pages(page_table: jax.Array, offsets: jax.Array,
-                  page_size: int, T: int) -> Tuple[jax.Array, jax.Array]:
-    """Pool page ids of the W consecutive logical pages that can contain
-    positions [offset, offset+T) per sequence ([B, W], W static), plus the
-    in-window start slot [B]. Logical pages beyond the table width are
-    redirected to garbage page 0 (the same always-safe-to-clobber contract
-    the table already uses for unused entries) — positions actually written
-    always sit on valid pages (table width covers S + the dispatch
-    horizon), only the untouched window tail can be redirected."""
-    W = (T + page_size - 1) // page_size + 1
-    first = offsets // page_size
-    widx = first[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
-    valid = widx < page_table.shape[1]
-    pages = jnp.where(
-        valid, jnp.take_along_axis(page_table,
-                                   jnp.where(valid, widx, 0), axis=1), 0)
-    return pages, offsets % page_size
-
-
-def _rmw_window(pool: jax.Array, pages: jax.Array, blk: jax.Array,
-                slot0: jax.Array, page_size: int) -> jax.Array:
-    """Read-modify-write one [B, T, Hk, ...]-block into pool pages via full
-    page-window gather + in-window dynamic_update_slice + full-page
-    scatter-back. blk: [B, T, Hk] or [B, T, Hk, Dh]."""
-    W = pages.shape[1]
-
-    def one(win, nb, s0):
-        # win: [W, Hk, page(, Dh)] -> [Hk, W*page(, Dh)]
-        perm = (1, 0, 2) + (() if win.ndim == 3 else (3,))
-        w = win.transpose(*perm)
-        w = w.reshape((w.shape[0], W * page_size) + w.shape[3:])
-        nbt = nb.transpose(*((1, 0) + (() if nb.ndim == 2 else (2,))))
-        w = jax.lax.dynamic_update_slice(w, nbt.astype(w.dtype),
-                                         (0, s0) + (0,) * (w.ndim - 2))
-        w = w.reshape((w.shape[0], W, page_size) + w.shape[2:])
-        return w.transpose(*perm)
-
-    upd = jax.vmap(one)(pool[pages], blk, slot0)
-    return pool.at[pages].set(upd, unique_indices=True)
-
-
 def write_block_paged(layer_k: jax.Array, layer_v: jax.Array,
                       new_k: jax.Array, new_v: jax.Array,
                       page_table: jax.Array, offsets: jax.Array,
                       page_size: int) -> Tuple[jax.Array, jax.Array]:
-    """Write a [B, T, Hk, Dh] block into one layer's [NP, Hk, page, Dh]
-    pool at per-sequence offsets, as a PAGE-WINDOW read-modify-write:
-    gather the W = ceil(T/page)+1 pages each sequence's block can touch,
-    dynamic_update_slice the block inside the gathered window, scatter the
-    full pages back (one scatter of B*W contiguous page rows).
+    """Scatter a [B, T, Hk, Dh] block into one layer's [NP, Hk, page, Dh]
+    pool at per-sequence offsets, as ONE scatter over all (b, t) positions.
+    The separated advanced indices (page, :, slot), both [B, T], move the
+    batch dims to the front: target slice [B, T, Hk, Dh] == new_k. (A
+    per-position Python loop here emitted T sequential scatters per layer —
+    a T=256 paged prefill carried 256x22 scatter ops and ran 3x slower than
+    the slotted admission; measured on chip.)
 
-    Why not a row scatter: the round-4 implementation scattered the B*T
-    individual (page, slot) rows in one XLA scatter — on TPU that lowers
-    to a serialized per-row update loop, measured at ~3 ms of the hybrid
-    decode window's +3.69 ms paged-target cost (round-5 attribution,
-    tools/exp_paged_residual.py: swapping the entire attention READ path
-    moved the window only 0.69 ms, so the cost was in this shared write).
-    B*W full-page rows (16 at the serving shape) replace B*T tiny rows
-    (72), each now page-contiguous. (The round-3 per-position Python loop
-    was worse still: T sequential scatters per layer.)
-
-    ``unique_indices``: live slots' windows hold distinct pages (pages are
-    disjoint across sequences, consecutive within one); duplicates only
-    alias garbage page 0 (inactive slots' rows, redirected tails), where
-    the winning update is undefined and irrelevant. Window slots outside
-    [slot0, slot0+T) are rewritten with their just-gathered values —
-    nothing else writes the pool within a layer step, so that is a no-op."""
-    pages, slot0 = _window_pages(page_table, offsets, page_size,
-                                 new_k.shape[1])
-    layer_k = _rmw_window(layer_k, pages, new_k, slot0, page_size)
-    layer_v = _rmw_window(layer_v, pages, new_v, slot0, page_size)
+    ``unique_indices``: live slots' (page, slot) pairs are distinct — pages
+    are disjoint across sequences and positions are distinct within one.
+    The only duplicates come from FINISHED/inactive slots, whose table rows
+    all alias garbage page 0; which duplicate wins there is undefined and
+    irrelevant (the garbage page is never attended)."""
+    T = new_k.shape[1]
+    pos = offsets[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]  # [B,T]
+    page = jnp.take_along_axis(page_table, pos // page_size, axis=1)  # [B,T]
+    slot = pos % page_size
+    layer_k = layer_k.at[page, :, slot].set(new_k, unique_indices=True)
+    layer_v = layer_v.at[page, :, slot].set(new_v, unique_indices=True)
     return layer_k, layer_v
 
 
@@ -243,12 +195,14 @@ def write_block_paged_quant(layer_kq, layer_ks, layer_vq, layer_vs,
 
     kq, ks = quantize_kv_block(new_k)
     vq, vs = quantize_kv_block(new_v)
-    pages, slot0 = _window_pages(page_table, offsets, page_size,
-                                 new_k.shape[1])
-    layer_kq = _rmw_window(layer_kq, pages, kq, slot0, page_size)
-    layer_ks = _rmw_window(layer_ks, pages, ks, slot0, page_size)
-    layer_vq = _rmw_window(layer_vq, pages, vq, slot0, page_size)
-    layer_vs = _rmw_window(layer_vs, pages, vs, slot0, page_size)
+    T = new_k.shape[1]
+    pos = offsets[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]  # [B,T]
+    page = jnp.take_along_axis(page_table, pos // page_size, axis=1)  # [B,T]
+    slot = pos % page_size
+    layer_kq = layer_kq.at[page, :, slot].set(kq, unique_indices=True)
+    layer_ks = layer_ks.at[page, :, slot].set(ks, unique_indices=True)
+    layer_vq = layer_vq.at[page, :, slot].set(vq, unique_indices=True)
+    layer_vs = layer_vs.at[page, :, slot].set(vs, unique_indices=True)
     return layer_kq, layer_ks, layer_vq, layer_vs
 
 
