@@ -502,8 +502,14 @@ def forward_step_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
     dense_layers, q4_stack = _split_stacked_quant(params["layers"])
 
     def body(carry, scanned):
-        h = carry
-        lp, i, lk, lv = scanned
+        # pools ride the scan CARRY as full [L, ...] stacks (writes scatter
+        # at layer index i; reads slice the layer) — as scan xs/ys, XLA
+        # materialized every layer's pool slice into the write and DUS-ed
+        # it back into a fresh stacked output, ~1.8 ms per decode window at
+        # the 1.1B serving shape (round-5 xplane trace; the same
+        # scan-materialization class round 4 fixed for quantized weights)
+        h, pk, pv = carry
+        lp, i = scanned
         lp = _layer_params(lp, q4_stack, i)
         Hq, Hk, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
@@ -519,10 +525,15 @@ def forward_step_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
         k = apply_rope(k, cos, sin, cfg.rotary_dim)
 
         if quant:
-            kq, ks, vq, vs = write_block_paged_quant(
-                lk[0], lk[1], lv[0], lv[1], k, v, cache.page_table, offsets,
-                page_size)
-            lk, lv = (kq, ks), (vq, vs)
+            from specdec_tpu.core.paged_cache import (
+                write_block_paged_quant_stacked,
+            )
+            pk, pv = write_block_paged_quant_stacked(
+                pk, pv, i, k, v, cache.page_table, offsets, page_size)
+            kq = lax.dynamic_index_in_dim(pk[0], i, 0, keepdims=False)
+            ks = lax.dynamic_index_in_dim(pk[1], i, 0, keepdims=False)
+            vq = lax.dynamic_index_in_dim(pv[0], i, 0, keepdims=False)
+            vs = lax.dynamic_index_in_dim(pv[1], i, 0, keepdims=False)
             if use_kernel:
                 from specdec_tpu.ops.paged_attention import (
                     paged_decode_attention_quant,
@@ -537,8 +548,14 @@ def forward_step_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
                          gather_page_scales(vs, cache.page_table))
                 attn = _attention(cfg, q, k_all, v_all, q_pos, None)
         else:
-            lk, lv = write_block_paged(lk, lv, k, v, cache.page_table,
-                                       offsets, page_size)
+            from specdec_tpu.core.paged_cache import (
+                write_block_paged_stacked,
+            )
+            pk, pv = write_block_paged_stacked(pk, pv, i, k, v,
+                                               cache.page_table, offsets,
+                                               page_size)
+            lk = lax.dynamic_index_in_dim(pk, i, 0, keepdims=False)
+            lv = lax.dynamic_index_in_dim(pv, i, 0, keepdims=False)
             if use_kernel:
                 from specdec_tpu.ops.paged_attention import (
                     paged_decode_attention,
@@ -564,12 +581,13 @@ def forward_step_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
         if cfg.mlp_bias:
             mlp = mlp + lp["b_down"]
         h = (h + attn + mlp) if cfg.parallel_residual else (h + mlp)
-        return h, (lk, lv)
+        return (h, pk, pv), None
 
     k_in = (cache.k, cache.k_scale) if quant else cache.k
     v_in = (cache.v, cache.v_scale) if quant else cache.v
     idxs = jnp.arange(cfg.num_layers, dtype=jnp.int32)
-    x, (new_k, new_v) = lax.scan(body, x, (dense_layers, idxs, k_in, v_in))
+    (x, new_k, new_v), _ = lax.scan(body, (x, k_in, v_in),
+                                    (dense_layers, idxs))
 
     x = _norm(cfg, x, params["final_norm_w"], params.get("final_norm_b"))
     if cfg.tie_embeddings:

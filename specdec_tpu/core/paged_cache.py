@@ -206,6 +206,53 @@ def write_block_paged_quant(layer_kq, layer_ks, layer_vq, layer_vs,
     return layer_kq, layer_ks, layer_vq, layer_vs
 
 
+def write_block_paged_stacked(stack_k: jax.Array, stack_v: jax.Array,
+                              layer: jax.Array, new_k: jax.Array,
+                              new_v: jax.Array, page_table: jax.Array,
+                              offsets: jax.Array, page_size: int):
+    """write_block_paged against the FULL [L, NP, Hk, page, Dh] pool stacks
+    at scan layer index ``layer`` — one scatter with the layer id prepended
+    to every (page, slot) index.
+
+    Why: threading per-layer pools through lax.scan as xs/ys forces XLA to
+    materialize each layer's 6.6 MB pool slice on the way into the write
+    and DUS the result back into a fresh stacked output — traced at
+    ~1.8 ms per decode window at 1.1B serving shape (round-5 xplane
+    attribution, tools/exp_trace_diff.py), the same scan-materialization
+    class round 4 fixed for stacked quantized weights. Scattering into the
+    stack carried as scan CARRY lets XLA update the pool in place."""
+    T = new_k.shape[1]
+    pos = offsets[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]  # [B,T]
+    page = jnp.take_along_axis(page_table, pos // page_size, axis=1)  # [B,T]
+    slot = pos % page_size
+    li = jnp.broadcast_to(jnp.asarray(layer, jnp.int32), page.shape)
+    stack_k = stack_k.at[li, page, :, slot].set(new_k, unique_indices=True)
+    stack_v = stack_v.at[li, page, :, slot].set(new_v, unique_indices=True)
+    return stack_k, stack_v
+
+
+def write_block_paged_quant_stacked(pk, pv, layer: jax.Array,
+                                    new_k: jax.Array, new_v: jax.Array,
+                                    page_table: jax.Array,
+                                    offsets: jax.Array, page_size: int):
+    """Quantized write_block_paged_stacked: pk/pv are (values, scales)
+    stack pairs ([L, NP, Hk, page, Dh] int8 + [L, NP, Hk, page] f32)."""
+    from specdec_tpu.core.cache import quantize_kv_block
+
+    kq, ks = quantize_kv_block(new_k)
+    vq, vs = quantize_kv_block(new_v)
+    T = new_k.shape[1]
+    pos = offsets[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+    page = jnp.take_along_axis(page_table, pos // page_size, axis=1)
+    slot = pos % page_size
+    li = jnp.broadcast_to(jnp.asarray(layer, jnp.int32), page.shape)
+    pk = (pk[0].at[li, page, :, slot].set(kq, unique_indices=True),
+          pk[1].at[li, page, :, slot].set(ks, unique_indices=True))
+    pv = (pv[0].at[li, page, :, slot].set(vq, unique_indices=True),
+          pv[1].at[li, page, :, slot].set(vs, unique_indices=True))
+    return pk, pv
+
+
 def install_sequence_pages(cache, row: jax.Array, scratch):
     """Scatter a batch-of-one SLOTTED scratch cache's K/V into the pool pages
     named by ``row`` — the dense-prefill → paged-install admission fast path
