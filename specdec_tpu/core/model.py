@@ -530,6 +530,12 @@ def forward_step_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
             )
             pk, pv = write_block_paged_quant_stacked(
                 pk, pv, i, k, v, cache.page_table, offsets, page_size)
+            # the READ slices the layer out of the carried stacks: a
+            # stacked-pool kernel variant (layer scalar-prefetch,
+            # ops/paged_attention.py *_stacked) measured 40 ms/window
+            # SLOWER on chip — the extra leading block dim defeats the
+            # clamped-page DMA elision — so the sliced per-layer kernel
+            # stays (round-5 measurement, docs/BENCHMARKS.md)
             kq = lax.dynamic_index_in_dim(pk[0], i, 0, keepdims=False)
             ks = lax.dynamic_index_in_dim(pk[1], i, 0, keepdims=False)
             vq = lax.dynamic_index_in_dim(pv[0], i, 0, keepdims=False)

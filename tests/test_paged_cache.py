@@ -193,3 +193,63 @@ def test_batched_scatter_matches_loop_with_finished_slots():
     # and the garbage page stayed garbage-only: no live page was touched
     # beyond the oracle's writes (checked above); page 0's content is
     # unspecified, so it is deliberately NOT compared
+
+
+def test_paged_stacked_kernel_matches_unstacked():
+    """The stacked-pool kernel (layer scalar-prefetch, round 5) must equal
+    the per-layer kernel for every layer index."""
+    from specdec_tpu.ops.paged_attention import paged_decode_attention_stacked
+
+    B, T, Hq, Hk, Dh, L = 2, 3, 8, 4, 16, 3
+    NP, MP = 11, 4
+    stack_k = jnp.asarray(RNG.normal(size=(L, NP, Hk, PAGE, Dh))
+                          .astype(np.float32))
+    stack_v = jnp.asarray(RNG.normal(size=(L, NP, Hk, PAGE, Dh))
+                          .astype(np.float32))
+    table = jnp.asarray(RNG.permutation(NP)[:B * MP].reshape(B, MP)
+                        .astype(np.int32))
+    q = jnp.asarray(RNG.normal(size=(B, T, Hq, Dh)).astype(np.float32))
+    offsets = jnp.asarray([29, 50], jnp.int32)
+
+    for layer in range(L):
+        with pltpu.force_tpu_interpret_mode():
+            ref = paged_decode_attention(q, stack_k[layer], stack_v[layer],
+                                         table, offsets, Hk)
+            got = paged_decode_attention_stacked(
+                q, stack_k, stack_v, jnp.int32(layer), table, offsets, Hk)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-6, atol=2e-6)
+
+
+def test_paged_stacked_write_matches_per_layer():
+    """write_block_paged_stacked on the full stacks == write_block_paged on
+    each layer slice."""
+    from specdec_tpu.core.paged_cache import (
+        write_block_paged, write_block_paged_stacked,
+    )
+
+    B, T, Hk, Dh, L, NP, MP = 2, 3, 4, 16, 3, 9, 3
+    stack_k = jnp.asarray(RNG.normal(size=(L, NP, Hk, PAGE, Dh))
+                          .astype(np.float32))
+    stack_v = jnp.asarray(RNG.normal(size=(L, NP, Hk, PAGE, Dh))
+                          .astype(np.float32))
+    table = jnp.asarray(RNG.permutation(NP)[:B * MP].reshape(B, MP)
+                        .astype(np.int32))
+    offsets = jnp.asarray([29, 61], jnp.int32)   # second crosses a page
+    for layer in range(L):
+        nk = jnp.asarray(RNG.normal(size=(B, T, Hk, Dh)).astype(np.float32))
+        nv = jnp.asarray(RNG.normal(size=(B, T, Hk, Dh)).astype(np.float32))
+        ref_k, ref_v = write_block_paged(stack_k[layer], stack_v[layer],
+                                         nk, nv, table, offsets, PAGE)
+        got_k, got_v = write_block_paged_stacked(stack_k, stack_v,
+                                                 jnp.int32(layer), nk, nv,
+                                                 table, offsets, PAGE)
+        np.testing.assert_array_equal(np.asarray(got_k[layer]),
+                                      np.asarray(ref_k))
+        np.testing.assert_array_equal(np.asarray(got_v[layer]),
+                                      np.asarray(ref_v))
+        # other layers untouched
+        for j in range(L):
+            if j != layer:
+                np.testing.assert_array_equal(np.asarray(got_k[j]),
+                                              np.asarray(stack_k[j]))
