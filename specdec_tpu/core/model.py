@@ -471,7 +471,7 @@ def forward_step_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
     (ops/paged_attention.py) and a gather-based XLA path elsewhere."""
     from specdec_tpu.core.paged_cache import (
         PagedKVCache, QuantPagedKVCache, gather_page_scales, gather_pages,
-        write_block_paged, write_block_paged_quant,
+        write_block_paged_quant_stacked, write_block_paged_stacked,
     )
 
     B, T = tokens.shape
@@ -525,9 +525,6 @@ def forward_step_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
         k = apply_rope(k, cos, sin, cfg.rotary_dim)
 
         if quant:
-            from specdec_tpu.core.paged_cache import (
-                write_block_paged_quant_stacked,
-            )
             pk, pv = write_block_paged_quant_stacked(
                 pk, pv, i, k, v, cache.page_table, offsets, page_size)
             # the READ slices the layer out of the carried stacks: a
@@ -554,9 +551,6 @@ def forward_step_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
                          gather_page_scales(vs, cache.page_table))
                 attn = _attention(cfg, q, k_all, v_all, q_pos, None)
         else:
-            from specdec_tpu.core.paged_cache import (
-                write_block_paged_stacked,
-            )
             pk, pv = write_block_paged_stacked(pk, pv, i, k, v,
                                                cache.page_table, offsets,
                                                page_size)
